@@ -1,0 +1,328 @@
+"""Minimal functional layer library (NHWC, TPU-first).
+
+Every layer is a small Python object with
+
+    init(key)  -> (params, stats)        two parallel pytrees
+    apply(params, stats, x, *, train=False, rng=None) -> (y, new_stats)
+
+``params`` is the trainable tree (differentiated), ``stats`` carries
+non-trainable state (batch-norm running moments). Layers without state
+return ``{}`` for stats.
+
+Semantics mirror the Torch7 modules used by the reference
+(`/root/reference/models/cifar/nmg.lua:18-29` ConvBNReLU,
+`nn.SpatialBatchNormalization`, `optim.sgd` init conventions) but the
+implementation is idiomatic JAX: NHWC layout, HWIO conv weights so XLA
+tiles convolutions directly onto the MXU, fp32 master params with an
+optional bf16 compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Any
+Stats = Any
+
+
+class Rngs:
+    """Trace-time rng splitter threaded through apply() for dropout."""
+
+    def __init__(self, key):
+        self._key = key
+
+    def next(self):
+        if self._key is None:
+            raise ValueError("this model needs an rng (dropout in train mode)")
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+
+def _as_rngs(rng) -> Optional[Rngs]:
+    if rng is None or isinstance(rng, Rngs):
+        return rng
+    return Rngs(rng)
+
+
+def cast_to(x, dtype):
+    if dtype is None or x.dtype == dtype:
+        return x
+    return x.astype(dtype)
+
+
+@dataclass
+class Conv:
+    """2D convolution, NHWC/HWIO, stride/padding per the reference convs.
+
+    MSR (fan-out) init: std = sqrt(2 / (k*k*c_out)), zero bias — matching
+    the reference's MSRinit (`models/cifar/nmg.lua:197-210`).
+    """
+
+    c_in: int
+    c_out: int
+    k: int = 3
+    stride: int = 1
+    pad: Optional[int] = None  # default: k==1 -> 0 else 1 (reference rule)
+    bias: bool = True
+    init_mode: str = "msr"  # "msr" | "torch" (uniform 1/sqrt(fan_in))
+    dtype: Optional[Any] = None  # compute dtype (e.g. jnp.bfloat16)
+
+    def __post_init__(self):
+        if self.pad is None:
+            self.pad = 0 if self.k == 1 else 1
+
+    def init(self, key):
+        kw, kb = jax.random.split(key)
+        if self.init_mode == "msr":
+            n = self.k * self.k * self.c_out
+            std = math.sqrt(2.0 / n)
+            w = std * jax.random.normal(
+                kw, (self.k, self.k, self.c_in, self.c_out), jnp.float32
+            )
+            b = jnp.zeros((self.c_out,), jnp.float32)
+        else:  # torch default: uniform(-s, s), s = 1/sqrt(k*k*c_in)
+            s = 1.0 / math.sqrt(self.k * self.k * self.c_in)
+            w = jax.random.uniform(
+                kw, (self.k, self.k, self.c_in, self.c_out), jnp.float32, -s, s
+            )
+            b = jax.random.uniform(kb, (self.c_out,), jnp.float32, -s, s)
+        p = {"w": w}
+        if self.bias:
+            p["b"] = b
+        return p, {}
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        w = cast_to(p["w"], self.dtype)
+        x = cast_to(x, self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.pad, self.pad), (self.pad, self.pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.bias:
+            y = y + cast_to(p["b"], y.dtype)
+        return y, s
+
+
+@dataclass
+class ConvTranspose:
+    """Transposed conv (Torch SpatialFullConvolution 2x2/2 in the U-Nets,
+    `models/mnist-cluttered/unmg.lua:35-40`). Torch-default uniform init
+    (the reference's MSRinit does not touch FullConvolution modules)."""
+
+    c_in: int
+    c_out: int
+    k: int = 2
+    stride: int = 2
+    dtype: Optional[Any] = None
+
+    def init(self, key):
+        kw, kb = jax.random.split(key)
+        s = 1.0 / math.sqrt(self.k * self.k * self.c_in)
+        w = jax.random.uniform(
+            kw, (self.k, self.k, self.c_in, self.c_out), jnp.float32, -s, s
+        )
+        b = jax.random.uniform(kb, (self.c_out,), jnp.float32, -s, s)
+        return {"w": w, "b": b}, {}
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        w = cast_to(p["w"], self.dtype)
+        x = cast_to(x, self.dtype)
+        y = jax.lax.conv_transpose(
+            x,
+            w,
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + cast_to(p["b"], y.dtype)
+        return y, s
+
+
+@dataclass
+class BatchNorm:
+    """Spatial batch norm with running stats.
+
+    Matches `nn.SpatialBatchNormalization(c, eps)`: train uses batch
+    moments (biased var), running stats update with momentum 0.1 and
+    unbiased variance; eval normalizes with running stats. Scale init 1,
+    bias 0 (reference BNInit, `models/cifar/rnmg.lua:358-363`).
+    Normalization is computed in fp32 regardless of compute dtype.
+    """
+
+    c: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    def init(self, key):
+        p = {
+            "scale": jnp.ones((self.c,), jnp.float32),
+            "bias": jnp.zeros((self.c,), jnp.float32),
+        }
+        s = {
+            "mean": jnp.zeros((self.c,), jnp.float32),
+            "var": jnp.ones((self.c,), jnp.float32),
+        }
+        return p, s
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(x.ndim - 1))  # all but channel
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            n = np.prod([x.shape[a] for a in axes])
+            unbiased = var * (n / max(n - 1, 1))
+            new_s = {
+                "mean": (1 - self.momentum) * s["mean"] + self.momentum * mean,
+                "var": (1 - self.momentum) * s["var"] + self.momentum * unbiased,
+            }
+        else:
+            mean, var = s["mean"], s["var"]
+            new_s = s
+        inv = jax.lax.rsqrt(var + self.eps) * p["scale"]
+        y = xf * inv + (p["bias"] - mean * inv)
+        return y.astype(in_dtype), new_s
+
+
+@dataclass
+class Dropout:
+    """Inverted dropout (torch nn.Dropout v2 semantics)."""
+
+    rate: float
+
+    def init(self, key):
+        return {}, {}
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        if not train or self.rate <= 0.0:
+            return x, s
+        rngs = _as_rngs(rng)
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(rngs.next(), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype), s
+
+
+@dataclass
+class Dense:
+    """Linear layer. Torch-default uniform weight init, zero bias
+    (reference zeroes Linear bias, `models/cifar/rnmg.lua:369-371`)."""
+
+    c_in: int
+    c_out: int
+    dtype: Optional[Any] = None
+
+    def init(self, key):
+        s = 1.0 / math.sqrt(self.c_in)
+        w = jax.random.uniform(key, (self.c_in, self.c_out), jnp.float32, -s, s)
+        return {"w": w, "b": jnp.zeros((self.c_out,), jnp.float32)}, {}
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        w = cast_to(p["w"], self.dtype)
+        x = cast_to(x, self.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return y.astype(jnp.float32) + p["b"], s
+
+
+@dataclass
+class Sequential:
+    """Composes layers; params/stats are dicts keyed '0','1',... ."""
+
+    layers: list = field(default_factory=list)
+
+    def init(self, key):
+        params, stats = {}, {}
+        keys = jax.random.split(key, max(len(self.layers), 1))
+        for i, (layer, k) in enumerate(zip(self.layers, keys)):
+            p, s = layer.init(k)
+            params[str(i)] = p
+            stats[str(i)] = s
+        return params, stats
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        rng = _as_rngs(rng)
+        new_s = {}
+        for i, layer in enumerate(self.layers):
+            x, new_s[str(i)] = layer.apply(
+                p[str(i)], s[str(i)], x, train=train, rng=rng
+            )
+        return x, new_s
+
+
+@dataclass
+class ConvBN:
+    """Conv -> BN [-> ReLU] [-> Dropout], the reference's basic unit
+    (`models/cifar/nmg.lua:18-29`). Dropout placement is *after* ReLU in
+    nmg but *before* conv in pnmg (`pnmg.lua:21-32`) — controlled by
+    ``dropout_pos``."""
+
+    c_in: int
+    c_out: int
+    k: int = 3
+    stride: int = 1
+    relu: bool = True
+    eps: float = 1e-5
+    dropout: float = 0.0
+    dropout_pos: str = "after"  # "after" relu | "before" conv
+    dtype: Optional[Any] = None
+
+    def __post_init__(self):
+        self.conv = Conv(self.c_in, self.c_out, self.k, self.stride, dtype=self.dtype)
+        self.bn = BatchNorm(self.c_out, eps=self.eps)
+        self.drop = Dropout(self.dropout) if self.dropout > 0 else None
+
+    def init(self, key):
+        kc, kb = jax.random.split(key)
+        pc, _ = self.conv.init(kc)
+        pb, sb = self.bn.init(kb)
+        return {"conv": pc, "bn": pb}, {"bn": sb}
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        rng = _as_rngs(rng)
+        if self.drop is not None and self.dropout_pos == "before":
+            x, _ = self.drop.apply({}, {}, x, train=train, rng=rng)
+        y, _ = self.conv.apply(p["conv"], {}, x, train=train)
+        y, sb = self.bn.apply(p["bn"], s["bn"], y, train=train)
+        if self.relu:
+            y = jax.nn.relu(y)
+        if self.drop is not None and self.dropout_pos == "after":
+            y, _ = self.drop.apply({}, {}, y, train=train, rng=rng)
+        return y, {"bn": sb}
+
+
+@dataclass
+class UpConvBN:
+    """FullConv 2x2/2 -> BN -> ReLU (`unmg.lua:35-40`)."""
+
+    c_in: int
+    c_out: int
+    eps: float = 1e-3
+    dtype: Optional[Any] = None
+
+    def __post_init__(self):
+        self.upconv = ConvTranspose(self.c_in, self.c_out, dtype=self.dtype)
+        self.bn = BatchNorm(self.c_out, eps=self.eps)
+
+    def init(self, key):
+        kc, kb = jax.random.split(key)
+        pc, _ = self.upconv.init(kc)
+        pb, sb = self.bn.init(kb)
+        return {"conv": pc, "bn": pb}, {"bn": sb}
+
+    def apply(self, p, s, x, *, train=False, rng=None):
+        y, _ = self.upconv.apply(p["conv"], {}, x, train=train)
+        y, sb = self.bn.apply(p["bn"], s["bn"], y, train=train)
+        return jax.nn.relu(y), {"bn": sb}
+
+
+def param_count(tree) -> int:
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(tree)))

@@ -1,0 +1,17 @@
+"""Test config: force an 8-device virtual CPU platform so data-parallel
+sharding paths are exercised without TPU hardware (the rebuild analog of
+the reference's `-nDonkeys 0` synchronous debug mode, `data.lua:32-37`)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
