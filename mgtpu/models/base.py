@@ -1,0 +1,92 @@
+"""The NetSpec contract — the rebuild of the reference's NETOBJ plugin
+interface (`/root/reference/models/basic_model.lua:19-91`).
+
+Every zoo model provides a NetSpec with:
+  - arguments(parser): register model-specific CLI flags
+    (reference `NET.arguments`, e.g. `models/cifar/nmg.lua:265-267`)
+  - create_model(opt) -> model object with init/apply
+  - create_loss(opt) -> jittable loss(outputs, labels) -> scalar
+  - train_rule(epoch, opt) -> {"lr":..., "wd":...}
+    (reference `NET.trainRule`)
+  - train_metrics / test_metrics: jittable dicts of scalar metrics
+    (reference `NET.trainOutput`/`NET.testOutput`)
+  - stored_outputs(outputs): arrays to accumulate + dump to HDF5 in the
+    test pipeline (reference's `store=true` info entries,
+    `pipelines/standard/test.lua:63-89`); default none.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+
+class NetSpec:
+    name: str = "base"
+
+    def arguments(self, parser):  # optional model flags
+        pass
+
+    def create_model(self, opt):
+        raise NotImplementedError(f"{self.name}: create_model")
+
+    def create_loss(self, opt):
+        raise NotImplementedError(f"{self.name}: create_loss")
+
+    def train_rule(self, epoch: int, opt) -> Dict[str, float]:
+        raise NotImplementedError(f"{self.name}: train_rule")
+
+    def train_metrics(self, outputs, labels, loss) -> Dict[str, Any]:
+        raise NotImplementedError(f"{self.name}: train_metrics")
+
+    def test_metrics(self, outputs, labels, loss) -> Dict[str, Any]:
+        return self.train_metrics(outputs, labels, loss)
+
+    def eval_metrics(self, outputs, labels, loss) -> Dict[str, Any]:
+        # reference defines the hook but no shipped model implements it
+        # (SURVEY §2.8); we default to test metrics instead of erroring.
+        return self.test_metrics(outputs, labels, loss)
+
+    def stored_outputs(self, outputs) -> Dict[str, Any]:
+        return {}
+
+
+# ---- loss functions (reference criteria) ----
+
+
+def nll_loss(log_probs, labels):
+    """ClassNLLCriterion: mean negative log-likelihood of int labels
+    over models that end in log_softmax."""
+    n = log_probs.shape[0]
+    ll = jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32), axis=1)
+    return -jnp.mean(ll)
+
+
+def bce_loss(probs, targets, eps: float = 1e-12):
+    """BCECriterion: mean binary cross-entropy over ALL elements
+    (torch sizeAverage semantics) on sigmoid outputs."""
+    p = jnp.clip(probs.astype(jnp.float32), eps, 1.0 - eps)
+    t = targets.astype(jnp.float32)
+    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+
+
+# ---- LR schedules (reference trainRule variants) ----
+
+
+def log_linear_rule(epoch: int, n_epochs: int, start: float = 1.0, delta: float = 3.0, wd: float = 5e-4):
+    """LR = 10^-((e-1)*delta/(nEpochs-1) + start): 1e-1 -> 1e-4
+    (`models/cifar/nmg.lua:257-263`)."""
+    denom = max(n_epochs - 1, 1)
+    return {"lr": 10.0 ** -((epoch - 1) * delta / denom + start), "wd": wd}
+
+
+def step_rule(epoch: int, milestones=(60, 120, 160), base: float = 0.1, decay: float = 0.2, wd: float = 5e-4):
+    """LR = base * decay^#{e >= m} (`models/cifar/rnmg.lua:431-451`)."""
+    k = sum(1 for m in milestones if epoch >= m)
+    return {"lr": base * decay**k, "wd": wd}
+
+
+def imagenet_rule(epoch: int, base: float = 0.1, decay: float = 0.1, every: int = 30, wd: float = 1e-4):
+    """LR = base * decay^floor((e-1)/every) (`models/ilsvrc/rnmg.lua:376-382`)."""
+    return {"lr": base * decay ** ((epoch - 1) // every), "wd": wd}

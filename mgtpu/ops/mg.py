@@ -195,6 +195,48 @@ class MgConv:
 
 
 @dataclass
+class DropCoarsest:
+    """Discard the coarsest grid without pooling — the in-layer drop of
+    `ResampleConcat(nIPs, isDrop)` in the mnist P-models
+    (`models/mnist-cluttered/pnmg.mnist.lua:33-39`): the dropped grid's
+    features do not contribute to any kept scale."""
+
+    widths: Sequence[int]
+
+    def __post_init__(self):
+        self.out_widths = list(self.widths)[:-1]
+
+    def init(self, key):
+        return {}, {}
+
+    def apply(self, p, s, pyr, *, train=False, rng=None):
+        return pyr[:-1], s
+
+
+@dataclass
+class TailOp:
+    """Pass the first ``n_pass`` scales through untouched and apply
+    ``op`` to the remaining (coarser) scales — the SelectTable +
+    FlattenTable plumbing of the pyramid prefix in P-* models
+    (`models/cifar/pnmg.lua:177-228`)."""
+
+    n_pass: int
+    op: object
+    widths: Sequence[int]
+
+    def __post_init__(self):
+        self.out_widths = list(self.widths[: self.n_pass]) + list(self.op.out_widths)
+
+    def init(self, key):
+        return self.op.init(key)
+
+    def apply(self, p, s, pyr, *, train=False, rng=None):
+        head = pyr[: self.n_pass]
+        tail, new_s = self.op.apply(p, s, pyr[self.n_pass :], train=train, rng=rng)
+        return tuple(head) + tuple(tail), new_s
+
+
+@dataclass
 class MgResidual:
     """Residual multigrid layer (`models/cifar/rnmg.lua:102-173`,
     `models/ilsvrc/rnmg.lua:91-159`):
@@ -219,6 +261,7 @@ class MgResidual:
     eps: float = 1e-5
     dropout: float = 0.0
     shortcut_type: str = "A"
+    final_relu: bool = True  # isOut variant skips it (`prnmg.mnist.lua:168`)
     dtype: Optional[object] = None
 
     def __post_init__(self):
@@ -292,7 +335,8 @@ class MgResidual:
                 else:  # zero-pad widen (nn.Padding, `rnmg.lua:13-20`)
                     pad = [(0, 0)] * (x.ndim - 1) + [(0, cout - cin)]
                     short = jnp.pad(x, pad)
-            out.append(jax.nn.relu(y + short.astype(y.dtype)))
+            z = y + short.astype(y.dtype)
+            out.append(jax.nn.relu(z) if self.final_relu else z)
         return tuple(out), {"s1": s1, "s2": s2, "sc": sc_s}
 
 

@@ -1,0 +1,76 @@
+"""Jitted train/test steps.
+
+The rebuild of the reference's hot loop (`pipelines/standard/train.lua:
+124-207` trainBatch): forward+loss+backward (NETOBJ.ftrain), gradient
+accumulation over `-iterSize` micro-batches (criterion pre-scaled
+1/iterSize, `model.lua:38-44` — here a lax.scan computing the mean
+gradient), then one SGD update. Under a data-parallel mesh the batch dim
+is sharded and XLA all-reduces gradients over ICI; there is no
+syncParameters step (params stay replicated).
+
+BN running stats thread through micro-batches sequentially, matching
+the reference's per-micro-batch forward."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0.9):
+    """Returns train_step(params, stats, opt_state, batch, lr, wd, rng)
+    -> (params, stats, opt_state, metrics).
+
+    batch = {"x": ..., "y": ...}; with iter_size > 1 the leading axis of
+    each entry is (iter_size, batch, ...).
+    """
+    from mgtpu.train.optim import sgd_update
+
+    def loss_and_metrics(params, stats, x, y, rng):
+        out, new_stats = model.apply(params, stats, x, train=True, rng=rng)
+        loss = loss_fn(out, y)
+        metrics = net.train_metrics(out, y, loss)
+        return loss, (new_stats, metrics)
+
+    grad_fn = jax.grad(loss_and_metrics, has_aux=True)
+
+    def train_step(params, stats, opt_state, batch, lr, wd, rng):
+        if iter_size == 1:
+            grads, (stats, metrics) = grad_fn(params, stats, batch["x"], batch["y"], rng)
+        else:
+            def micro(carry, xs):
+                st, acc = carry
+                x, y, k = xs
+                g, (st, m) = grad_fn(params, st, x, y, k)
+                acc = jax.tree.map(lambda a, b: a + b, acc, g)
+                return (st, acc), m
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            keys = jax.random.split(rng, iter_size)
+            (stats, gsum), ms = jax.lax.scan(
+                micro, (stats, zero), (batch["x"], batch["y"], keys)
+            )
+            grads = jax.tree.map(lambda g: g / iter_size, gsum)
+            metrics = jax.tree.map(jnp.mean, ms)
+        params, opt_state = sgd_update(params, grads, opt_state, lr, wd, momentum)
+        return params, stats, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn, net, mode: str = "test"):
+    """Returns eval_step(params, stats, batch) -> metrics dict (+ raw
+    outputs for stored dumps). Eval mode: BN running stats, no dropout
+    (reference NETOBJ.ftest, `models/basic_model.lua:68-72`)."""
+
+    metrics_fn = net.test_metrics if mode == "test" else net.eval_metrics
+
+    def eval_step(params, stats, batch):
+        out, _ = model.apply(params, stats, batch["x"], train=False)
+        loss = loss_fn(out, batch["y"])
+        return metrics_fn(out, batch["y"], loss), out
+
+    return eval_step

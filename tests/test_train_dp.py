@@ -1,0 +1,136 @@
+"""Data-parallel training tests on the 8-device virtual CPU mesh —
+the rebuild's replacement for the reference's DataParallelTable path
+(`multigpu.lua`, SURVEY §2.6)."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgtpu.models import get_net
+from mgtpu.parallel import make_mesh, replicate, shard_batch
+from mgtpu.train.optim import sgd_init, sgd_update
+from mgtpu.train.step import make_eval_step, make_train_step
+
+
+def _setup(iter_size=1):
+    opt = types.SimpleNamespace(dataset="cifar100-whitened", nEpochs=200, nLayer=1)
+    net = get_net("cifar/nmg")
+    model = net.create_model(opt)
+    params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
+    loss_fn = net.create_loss(opt)
+    step = make_train_step(model, loss_fn, net, iter_size=iter_size)
+    return net, model, params, stats, loss_fn, step
+
+
+def test_sgd_matches_reference_semantics():
+    p = {"w": jnp.array([1.0, 2.0])}
+    g = {"w": jnp.array([0.5, 0.5])}
+    st = sgd_init(p)
+    lr, wd, mu = 0.1, 0.01, 0.9
+    p1, st1 = sgd_update(p, g, st, lr, wd, mu)
+    # g' = g + wd*p ; m = g' ; p -= lr*m
+    exp_m = np.array([0.5 + 0.01 * 1.0, 0.5 + 0.01 * 2.0])
+    np.testing.assert_allclose(np.asarray(st1["m"]["w"]), exp_m, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["w"]), np.array([1.0, 2.0]) - 0.1 * exp_m, rtol=1e-6)
+    # second step accumulates momentum
+    p2, st2 = sgd_update(p1, g, st1, lr, wd, mu)
+    exp_m2 = mu * exp_m + (np.asarray(g["w"]) + wd * np.asarray(p1["w"]))
+    np.testing.assert_allclose(np.asarray(st2["m"]["w"]), exp_m2, rtol=1e-6)
+
+
+def test_train_step_runs_and_learns():
+    net, model, params, stats, loss_fn, step = _setup()
+    jstep = jax.jit(step)
+    opt_state = sgd_init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    y = jnp.arange(8, dtype=jnp.int32) % 100
+    batch = {"x": x, "y": y}
+    losses = []
+    for i in range(5):
+        params, stats, opt_state, m = jstep(
+            params, stats, opt_state, batch, 0.05, 5e-4, jax.random.PRNGKey(i)
+        )
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # overfits a fixed batch
+
+
+def test_train_step_data_parallel_mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(n_data=8)
+    net, model, params, stats, loss_fn, step = _setup()
+    params = replicate(mesh, params)
+    stats = replicate(mesh, stats)
+    opt_state = replicate(mesh, sgd_init(params))
+    batch = shard_batch(
+        mesh,
+        {
+            "x": jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3)),
+            "y": jnp.arange(16, dtype=jnp.int32) % 100,
+        },
+    )
+    jstep = jax.jit(step)
+    with jax.set_mesh(mesh):
+        params2, stats2, opt_state2, m = jstep(
+            params, stats, opt_state, batch, 0.1, 5e-4, jax.random.PRNGKey(0)
+        )
+    assert np.isfinite(float(m["loss"]))
+    # params remain replicated after the update
+    leaf = jax.tree.leaves(params2)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device():
+    # the same batch must produce the same update whether sharded or not
+    net, model, params, stats, loss_fn, step = _setup()
+    jstep = jax.jit(step)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    y = jnp.arange(16, dtype=jnp.int32) % 100
+    opt_state = sgd_init(params)
+    p1, _, _, m1 = jstep(params, stats, opt_state, {"x": x, "y": y}, 0.1, 5e-4, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=8)
+    pr = replicate(mesh, params)
+    sr = replicate(mesh, stats)
+    orp = replicate(mesh, opt_state)
+    batch = shard_batch(mesh, {"x": x, "y": y})
+    p2, _, _, m2 = jstep(pr, sr, orp, batch, 0.1, 5e-4, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    a = np.asarray(jax.tree.leaves(p1)[0])
+    b = np.asarray(jax.tree.leaves(p2)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accumulation_iter_size():
+    net, model, params, stats, loss_fn, _ = _setup()
+    step1 = jax.jit(make_train_step(model, loss_fn, net, iter_size=1))
+    step2 = jax.jit(make_train_step(model, loss_fn, net, iter_size=2))
+    opt_state = sgd_init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    y = jnp.arange(8, dtype=jnp.int32) % 100
+    # iter_size=2 over the same data split in two == iter_size=1 over all
+    # (BN batch stats differ, so compare only the direction of updates)
+    pa, _, _, _ = step1(params, stats, opt_state, {"x": x, "y": y}, 0.1, 0.0, jax.random.PRNGKey(0))
+    xb = x.reshape(2, 4, 32, 32, 3)
+    yb = y.reshape(2, 4)
+    pb, _, _, _ = step2(params, stats, opt_state, {"x": xb, "y": yb}, 0.1, 0.0, jax.random.PRNGKey(0))
+    la = jax.tree.leaves(pa)
+    lb = jax.tree.leaves(pb)
+    # updates correlate strongly even though BN micro-batch stats differ
+    da = np.concatenate([np.ravel(np.asarray(u) - np.asarray(v)) for u, v in zip(la, jax.tree.leaves(params))])
+    db = np.concatenate([np.ravel(np.asarray(u) - np.asarray(v)) for u, v in zip(lb, jax.tree.leaves(params))])
+    corr = np.corrcoef(da, db)[0, 1]
+    assert corr > 0.9
+
+
+def test_eval_step():
+    net, model, params, stats, loss_fn, _ = _setup()
+    estep = jax.jit(make_eval_step(model, loss_fn, net))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    y = jnp.arange(4, dtype=jnp.int32)
+    m, out = estep(params, stats, {"x": x, "y": y})
+    assert out.shape == (4, 100)
+    assert 0.0 <= float(m["top1"]) <= 1.0
