@@ -1,0 +1,164 @@
+"""CIFAR dataset family — rebuilds of `dataset/cifar100-whitened`,
+`dataset/cifar10`, `dataset/cifar100`, `dataset/cifar100+`.
+
+Canonical on-disk format is .npz (see tools/ingest_cifar.py for
+converting the public python pickles, including the ZCA whitening the
+reference downloads pre-computed). `-data synthetic` builds a
+deterministic class-structured synthetic set so every pipeline runs
+end-to-end without the original blobs."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from mgtpu.data import transforms as tf
+from mgtpu.data.base import ClassBalancedDataset
+
+CIFAR100_MEANSTD = ([129.3, 124.1, 112.4], [68.2, 65.4, 70.4])  # cifar100/donkey.lua:20-23
+CIFAR10_MEANSTD = ([125.3, 123.0, 113.9], [63.0, 62.1, 66.7])  # cifar10/donkey.lua:23-25
+
+
+def _synth_classification(n, n_classes, hw=32, c=3, seed=7, scale=1.0):
+    """Class-structured noise: class-dependent mean pattern + noise, so
+    smoke training can actually reduce loss."""
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(0, 1, (n_classes, hw, hw, c)).astype(np.float32)
+    labels = np.arange(n, dtype=np.int32) % n_classes
+    noise = rng.normal(0, 1, (n, hw, hw, c)).astype(np.float32)
+    images = (protos[labels] + noise) * scale
+    return images, labels
+
+
+def _chw_flat_to_hwc(data: np.ndarray, hw: int = 32, c: int = 3) -> np.ndarray:
+    return data.reshape(-1, c, hw, hw).transpose(0, 2, 3, 1).astype(np.float32)
+
+
+def _load_npz_pair(path, train_keys, test_keys):
+    z = np.load(path)
+    tr = tuple(z[k] for k in train_keys)
+    te = tuple(z[k] for k in test_keys)
+    return tr, te
+
+
+def _load_cifar_python(root: str, name: str):
+    """Read the standard public pickle layout if present."""
+    import pickle
+
+    if name == "cifar10":
+        d = os.path.join(root, "cifar-10-batches-py")
+        if not os.path.isdir(d):
+            return None
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(os.path.join(d, f"data_batch_{i}"), "rb") as f:
+                b = pickle.load(f, encoding="latin1")
+            xs.append(b["data"])
+            ys.extend(b["labels"])
+        with open(os.path.join(d, "test_batch"), "rb") as f:
+            b = pickle.load(f, encoding="latin1")
+        return (
+            (np.concatenate(xs), np.asarray(ys, np.int32)),
+            (b["data"], np.asarray(b["labels"], np.int32)),
+        )
+    else:
+        d = os.path.join(root, "cifar-100-python")
+        if not os.path.isdir(d):
+            return None
+        import pickle
+
+        def rd(split):
+            with open(os.path.join(d, split), "rb") as f:
+                b = pickle.load(f, encoding="latin1")
+            return np.asarray(b["data"]), np.asarray(b["fine_labels"], np.int32)
+
+        return rd("train"), rd("test")
+
+
+def _resolve_cifar_source(opt, name: str, whitened: bool):
+    n_classes = 10 if name == "cifar10" else 100
+    data_dir = getattr(opt, "data", "synthetic")
+    if data_dir == "synthetic":
+        n_train = max(getattr(opt, "synthSize", 2000), n_classes)
+        scale = 1.0 if whitened else 64.0
+        tr = _synth_classification(n_train, n_classes, seed=11, scale=scale)
+        te = _synth_classification(max(n_train // 4, n_classes), n_classes, seed=13, scale=scale)
+        return tr, te, n_classes
+    fname = "cifar100_whitened.npz" if whitened else f"{name}.npz"
+    npz = os.path.join(data_dir, fname)
+    if os.path.isfile(npz):
+        (trd, trl), (ted, tel) = _load_npz_pair(
+            npz, ("train_data", "train_labels"), ("test_data", "test_labels")
+        )
+    else:
+        loaded = None if whitened else _load_cifar_python(data_dir, name)
+        if loaded is None:
+            raise FileNotFoundError(
+                f"no {fname} (or python pickles) under {data_dir}; "
+                "run tools/ingest_cifar.py or use -data synthetic"
+            )
+        (trd, trl), (ted, tel) = loaded
+    if trd.ndim == 2:
+        trd, ted = _chw_flat_to_hwc(trd), _chw_flat_to_hwc(ted)
+    if trl.min() >= 1:  # torch 1-based labels
+        trl, tel = trl - 1, tel - 1
+    return (trd.astype(np.float32), trl.astype(np.int32)), (
+        ted.astype(np.float32),
+        tel.astype(np.int32),
+    ), n_classes
+
+
+def _colorspace_t(opt):
+    cs = getattr(opt, "colorspace", "bgr")
+    if cs == "bgr":
+        return tf.bgr
+    if cs == "gray":
+        return tf.grayscale_y
+    return lambda img, rng: img
+
+
+def build_cifar100_whitened(opt):
+    """cifar100-whitened: ZCA-whitened blob; train = colorspace ->
+    optional affine/rotate aug -> resize shorter side to -imageSize ->
+    random crop -imageCrop -> hflip .5; test = center crop
+    (`dataset/cifar100-whitened/donkey.lua:84-139,167-177`)."""
+    (trd, trl), (ted, tel), n_classes = _resolve_cifar_source(opt, "cifar100", True)
+    image_size = getattr(opt, "imageSize", 36)
+    crop = getattr(opt, "imageCrop", 32)
+    aug = getattr(opt, "dataAug", "default")
+    cs = _colorspace_t(opt)
+
+    steps = [cs]
+    if aug == "affine":
+        steps.append(tf.affine(30.0))
+    elif aug in ("rotate", "rotation"):  # opts.lua:30 documents 'rotation',
+        # the reference donkey checks 'rotate' (defect, SURVEY §2.8) —
+        # accept both by intent
+        steps.append(tf.rotation_exact(np.pi / 6))
+    steps += [tf.scale(image_size, "bilinear"), tf.random_crop(crop), tf.horizontal_flip(0.5)]
+    train_hook = tf.compose(steps)
+    test_hook = tf.compose([cs, tf.scale(image_size, "bilinear"), tf.center_crop(crop)])
+
+    train = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
+    test = ClassBalancedDataset(ted, tel, n_classes, None, test_hook)
+    return {"train": train, "test": test}
+
+
+def build_cifar_normalized(opt, name: str):
+    """cifar10 / cifar100 / cifar100+: ColorNormalize only; '+' adds
+    HFlip(.5) + RandomCrop(32, pad 4) for training
+    (`dataset/cifar100+/donkey.lua:47-51`)."""
+    (trd, trl), (ted, tel), n_classes = _resolve_cifar_source(
+        opt, "cifar10" if name == "cifar10" else "cifar100", False
+    )
+    mean, std = CIFAR10_MEANSTD if name == "cifar10" else CIFAR100_MEANSTD
+    norm = tf.color_normalize(mean, std)
+    if name == "cifar100+":
+        train_hook = tf.compose([norm, tf.horizontal_flip(0.5), tf.random_crop(32, 4)])
+    else:
+        train_hook = norm
+    train = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
+    test = ClassBalancedDataset(ted, tel, n_classes, None, norm)
+    return {"train": train, "test": test}

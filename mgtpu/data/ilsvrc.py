@@ -1,0 +1,197 @@
+"""ILSVRC (ImageNet) dataset — rebuild of `dataset/ilsvrc/`.
+
+Class discovery walks the directory-per-class tree (the reference
+shelled out to GNU find and packed paths into CharTensors,
+`dataset.lua:106-214`; plain os.scandir is the Python-native
+equivalent). Robust JPEG loading mirrors the pcall +
+image.decompress fallback (`donkey.lua:37-57`). Train transform:
+RandomSizedCrop(224) -> ColorJitter(.4,.4,.4) -> Lighting(0.1, PCA) ->
+ColorNormalize -> HFlip(.5); test: Scale(256) -> ColorNormalize ->
+CenterCrop(224) or TenCrop with `-tenCrop` (the reference reads
+OPT.tenCrop but never registers the flag — SURVEY §2.8; we register it).
+
+`-data synthetic` builds procedural images so the ImageNet pipelines
+run end-to-end on a zero-egress box."""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from mgtpu.data import transforms as tf
+
+MEANSTD = ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225])  # donkey.lua:21-24
+PCA_EIGVAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
+PCA_EIGVEC = np.array(
+    [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ],
+    np.float32,
+)
+
+
+def load_image(path: str) -> np.ndarray:
+    """Robust decode -> HWC float32 in [0,1] (`donkey.lua:37-57`)."""
+    from PIL import Image
+
+    try:
+        im = Image.open(path).convert("RGB")
+    except Exception:
+        with open(path, "rb") as f:
+            im = Image.open(io.BytesIO(f.read())).convert("RGB")
+    return np.asarray(im, np.float32) / 255.0
+
+
+def train_transform():
+    return tf.compose(
+        [
+            tf.random_sized_crop(224),
+            tf.color_jitter(0.4, 0.4, 0.4),
+            tf.lighting(0.1, PCA_EIGVAL, PCA_EIGVEC),
+            tf.color_normalize(*MEANSTD),
+            tf.horizontal_flip(0.5),
+        ]
+    )
+
+
+def test_transform(ten_crop: bool = False):
+    crop = tf.ten_crop(224) if ten_crop else tf.center_crop(224)
+    return tf.compose([tf.scale(256), tf.color_normalize(*MEANSTD), crop])
+
+
+class FolderDataset:
+    """Directory-per-class image dataset with class-balanced sampling
+    (samplingMode='balanced' default, `dataset.lua:41-44,299-313`)."""
+
+    def __init__(self, root: str, hook, balanced: bool = True,
+                 classes: Optional[List[str]] = None):
+        self.root = root
+        self.hook = hook
+        self.classes = classes or sorted(
+            d.name for d in os.scandir(root) if d.is_dir()
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.paths: List[str] = []
+        self.labels: List[int] = []
+        self.class_list: List[List[int]] = [[] for _ in self.classes]
+        exts = {".jpg", ".jpeg", ".png", ".ppm", ".bmp"}
+        for c in self.classes:
+            cdir = os.path.join(root, c)
+            if not os.path.isdir(cdir):
+                continue
+            for e in sorted(os.scandir(cdir), key=lambda e: e.name):
+                if os.path.splitext(e.name)[1].lower() in exts:
+                    self.class_list[self.class_to_idx[c]].append(len(self.paths))
+                    self.paths.append(e.path)
+                    self.labels.append(self.class_to_idx[c])
+        self.labels = np.asarray(self.labels, np.int32)
+        self.balanced = balanced
+
+    def size(self) -> int:
+        return len(self.paths)
+
+    def sample(self, quantity: int, rng: np.random.Generator):
+        xs, ys = [], []
+        for _ in range(quantity):
+            if self.balanced:
+                c = int(rng.integers(0, len(self.classes)))
+                members = self.class_list[c]
+                while not members:  # tolerate empty classes
+                    c = int(rng.integers(0, len(self.classes)))
+                    members = self.class_list[c]
+                i = members[int(rng.integers(0, len(members)))]
+            else:
+                i = int(rng.integers(0, len(self.paths)))
+            img = load_image(self.paths[i])
+            xs.append(self.hook(img, rng))
+            ys.append(self.labels[i])
+        return np.stack(xs).astype(np.float32), np.asarray(ys, np.int32)
+
+    def gen_inputs(self, batch_size, epoch, seed):
+        return self.sample(batch_size, np.random.default_rng(seed))
+
+    def get(self, i1, i2, rng=None):
+        rng = rng or np.random.default_rng(0)
+        xs, ys = [], []
+        for i in range(i1 - 1, i2):
+            img = load_image(self.paths[i])
+            xs.append(self.hook(img, rng))
+            ys.append(self.labels[i])
+        return np.stack(xs).astype(np.float32), np.asarray(ys, np.int32)
+
+    def get_inputs(self, i1, i2, epoch):
+        return self.get(i1, i2)
+
+
+class SynthIlsvrc:
+    """Procedural stand-in: per-index deterministic 256px class-coded
+    images, decoded lazily (no 150 GB tree needed)."""
+
+    def __init__(self, n: int, hook, n_classes: int = 1000, seed: int = 5):
+        self.n = n
+        self.hook = hook
+        self.n_classes = n_classes
+        self.seed = seed
+        self.labels = (np.arange(n) % n_classes).astype(np.int32)
+
+    def _image(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 1_000_003 + i)
+        c = int(self.labels[i])
+        yy, xx = np.mgrid[0:256, 0:256].astype(np.float32) / 256.0
+        base = np.stack(
+            [
+                np.sin(2 * np.pi * ((c % 17) + 1) * yy),
+                np.cos(2 * np.pi * ((c % 13) + 1) * xx),
+                np.sin(2 * np.pi * ((c % 7) + 1) * (xx + yy)),
+            ],
+            axis=-1,
+        )
+        img = 0.5 + 0.25 * base + 0.1 * rng.standard_normal((256, 256, 3)).astype(np.float32)
+        return np.clip(img, 0, 1)
+
+    def size(self) -> int:
+        return self.n
+
+    def sample(self, quantity, rng):
+        idx = rng.integers(0, self.n, quantity)
+        xs = [self.hook(self._image(int(i)), rng) for i in idx]
+        return np.stack(xs).astype(np.float32), self.labels[idx]
+
+    def gen_inputs(self, batch_size, epoch, seed):
+        return self.sample(batch_size, np.random.default_rng(seed))
+
+    def get(self, i1, i2, rng=None):
+        rng = rng or np.random.default_rng(0)
+        xs = [self.hook(self._image(i), rng) for i in range(i1 - 1, i2)]
+        return np.stack(xs).astype(np.float32), self.labels[i1 - 1 : i2]
+
+    def get_inputs(self, i1, i2, epoch):
+        return self.get(i1, i2)
+
+
+def build_ilsvrc(opt):
+    data_dir = getattr(opt, "data", "synthetic")
+    ten = bool(getattr(opt, "tenCrop", False))
+    if data_dir == "synthetic":
+        n = getattr(opt, "synthSize", 64)
+        n_classes = getattr(opt, "synthClasses", 1000)
+        return {
+            "train": SynthIlsvrc(n, train_transform(), n_classes),
+            "test": SynthIlsvrc(max(n // 4, 8), test_transform(ten), n_classes),
+        }
+    train_dir = os.path.join(data_dir, "train")
+    val_dir = os.path.join(data_dir, "val")
+    out = {}
+    if os.path.isdir(train_dir):
+        out["train"] = FolderDataset(train_dir, train_transform())
+    if os.path.isdir(val_dir):
+        classes = out["train"].classes if "train" in out else None
+        out["test"] = FolderDataset(val_dir, test_transform(ten), classes=classes)
+    if not out:
+        raise FileNotFoundError(f"no train/ or val/ under {data_dir}")
+    return out

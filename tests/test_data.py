@@ -1,0 +1,147 @@
+import types
+
+import numpy as np
+import pytest
+
+from mgtpu.data import get_loaders, list_datasets
+from mgtpu.data import transforms as tf
+from mgtpu.data.cluttered import (
+    ClutterConfig,
+    ClutterGenerator,
+    sample_position,
+    synthetic_digits,
+)
+from mgtpu.data.prefetch import DonkeyPool
+
+
+def _opt(**kw):
+    base = dict(data="synthetic", synthSize=64, imageSize=36, imageCrop=32,
+                colorspace="bgr", dataAug="default")
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def test_transforms_shapes():
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 44, 3)).astype(np.float32)
+    assert tf.scale(36)(img, rng).shape[0] == 36  # shorter side
+    assert tf.center_crop(32)(img, rng).shape == (32, 32, 3)
+    assert tf.random_crop(32)(img, rng).shape == (32, 32, 3)
+    assert tf.random_crop(32, 4)(np.zeros((32, 32, 3), np.float32), rng).shape == (32, 32, 3)
+    assert tf.ten_crop(32)(img, rng).shape == (10, 32, 32, 3)
+    out = tf.random_sized_crop(24)(img, rng)
+    assert out.shape == (24, 24, 3)
+    assert tf.rotation(30)(img, rng).shape == img.shape
+    assert tf.affine(30)(img, rng).shape == img.shape
+
+
+def test_color_normalize_and_bgr():
+    rng = np.random.default_rng(0)
+    img = np.ones((4, 4, 3), np.float32) * [10, 20, 30]
+    out = tf.color_normalize([10, 20, 30], [1, 2, 3])(img, rng)
+    np.testing.assert_allclose(out, 0)
+    sw = tf.bgr(img)
+    np.testing.assert_allclose(sw[0, 0], [30, 20, 10])
+
+
+def test_occlusion_expands():
+    rng = np.random.default_rng(0)
+    mask = np.zeros((5, 8, 8, 1), np.float32)
+    mask[:, :2, :2] = 1
+    img = np.ones((8, 8, 1), np.float32)
+    out = tf.occlusion(mask)(img, rng)
+    assert out.shape == (6, 8, 8, 1)
+    np.testing.assert_allclose(out[0], img)  # first is the original
+    assert not np.allclose(out[1][:2, :2], img[:2, :2])
+
+
+def test_cifar_whitened_synthetic_loaders():
+    loaders = get_loaders(_opt(dataset="cifar100-whitened"))
+    tr, te = loaders["train"], loaders["test"]
+    x, y = tr.gen_inputs(8, epoch=1, seed=42)
+    assert x.shape == (8, 32, 32, 3) and y.shape == (8,)
+    assert y.min() >= 0 and y.max() < 100
+    x2, y2 = tr.gen_inputs(8, epoch=1, seed=42)
+    np.testing.assert_allclose(x, x2)  # deterministic per seed
+    xt, yt = te.get_inputs(1, 4, epoch=1)
+    assert xt.shape == (4, 32, 32, 3)
+
+
+def test_class_balanced_sampling():
+    loaders = get_loaders(_opt(dataset="cifar100-whitened", synthSize=500))
+    xs, ys = loaders["train"].sample(600, np.random.default_rng(0))
+    counts = np.bincount(ys, minlength=100)
+    assert counts.max() <= 20  # roughly uniform over classes
+
+
+def test_cifar100_plus_aug():
+    loaders = get_loaders(_opt(dataset="cifar100+"))
+    x, y = loaders["train"].gen_inputs(4, 1, seed=0)
+    assert x.shape == (4, 32, 32, 3)
+
+
+def test_mnist_seg_synthetic():
+    loaders = get_loaders(_opt(dataset="mnist-seg", synthSize=16))
+    x, y = loaders["train"].gen_inputs(4, 1, seed=0)
+    assert x.shape == (4, 64, 64, 1)
+    assert y.shape == (4, 64, 64, 10)
+    assert set(np.unique(y)) <= {0.0, 1.0}
+
+
+def test_mnist_spt_synthetic():
+    loaders = get_loaders(_opt(dataset="mnist-spt", synthSize=16))
+    x, y = loaders["train"].gen_inputs(4, 1, seed=0)
+    assert x.shape == (4, 64, 64, 1)
+    assert y.shape == (4, 64, 64, 1)
+
+
+def test_mnist_saliency_loader():
+    loaders = get_loaders(_opt(dataset="mnist-saliency", synthSize=4))
+    te = loaders["test"]
+    assert te.mask.shape == (841, 64, 64, 1)  # 29*29 8x8 windows stride 2
+    x, y = te.get_inputs(1, 1, epoch=1)
+    assert x.shape == (1, 842, 64, 64, 1)  # original + 841 occlusions
+
+
+def test_clutter_generator_segmentation():
+    digits, labels = synthetic_digits(50)
+    cfg = ClutterConfig(megapatch_w=64, n_digits=5, scale=(0.5, 1.25),
+                        angle=60, threshold=0.3, task="segmentation", seed=1)
+    gen = ClutterGenerator(digits, labels, cfg)
+    obs, target = gen.next_example()
+    assert obs.shape == (64, 64, 1)
+    assert target.shape == (64, 64, 10)
+    assert obs.max() <= 1.0 and obs.min() >= 0.0
+
+
+def test_overlap_constraint_sampler():
+    rng = np.random.default_rng(0)
+    obs = np.ones((32, 32), np.float32)  # fully occupied -> always >30%
+    sprite = np.ones((10, 10), np.float32)
+    y, x = sample_position("overlap_constraint", obs, sprite, 0, rng)
+    assert y is None and x is None
+    obs = np.zeros((32, 32), np.float32)
+    y, x = sample_position("overlap_constraint", obs, sprite, 0, rng)
+    assert y is not None
+
+
+def test_donkey_pool_order_and_sync_mode():
+    for n in (0, 3):
+        pool = DonkeyPool(n)
+        jobs = [lambda i=i: i * i for i in range(20)]
+        assert list(pool.imap(jobs)) == [i * i for i in range(20)]
+        pool.shutdown()
+
+
+def test_ilsvrc_synthetic():
+    loaders = get_loaders(_opt(dataset="ilsvrc", synthSize=8, synthClasses=10))
+    x, y = loaders["train"].gen_inputs(2, 1, seed=0)
+    assert x.shape == (2, 224, 224, 3)
+    xt, yt = loaders["test"].get_inputs(1, 2, epoch=1)
+    assert xt.shape == (2, 224, 224, 3)
+
+
+def test_ilsvrc_tencrop():
+    loaders = get_loaders(_opt(dataset="ilsvrc", synthSize=8, synthClasses=10, tenCrop=True))
+    xt, yt = loaders["test"].get_inputs(1, 1, epoch=1)
+    assert xt.shape == (1, 10, 224, 224, 3)

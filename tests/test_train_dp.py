@@ -109,21 +109,18 @@ def test_grad_accumulation_iter_size():
     step1 = jax.jit(make_train_step(model, loss_fn, net, iter_size=1))
     step2 = jax.jit(make_train_step(model, loss_fn, net, iter_size=2))
     opt_state = sgd_init(params)
-    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
-    y = jnp.arange(8, dtype=jnp.int32) % 100
-    # iter_size=2 over the same data split in two == iter_size=1 over all
-    # (BN batch stats differ, so compare only the direction of updates)
-    pa, _, _, _ = step1(params, stats, opt_state, {"x": x, "y": y}, 0.1, 0.0, jax.random.PRNGKey(0))
-    xb = x.reshape(2, 4, 32, 32, 3)
-    yb = y.reshape(2, 4)
-    pb, _, _, _ = step2(params, stats, opt_state, {"x": xb, "y": yb}, 0.1, 0.0, jax.random.PRNGKey(0))
-    la = jax.tree.leaves(pa)
-    lb = jax.tree.leaves(pb)
-    # updates correlate strongly even though BN micro-batch stats differ
-    da = np.concatenate([np.ravel(np.asarray(u) - np.asarray(v)) for u, v in zip(la, jax.tree.leaves(params))])
-    db = np.concatenate([np.ravel(np.asarray(u) - np.asarray(v)) for u, v in zip(lb, jax.tree.leaves(params))])
-    corr = np.corrcoef(da, db)[0, 1]
-    assert corr > 0.9
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    y = jnp.arange(4, dtype=jnp.int32) % 100
+    # two IDENTICAL micro-batches: the mean accumulated gradient equals
+    # the single-micro-batch gradient exactly (train-mode BN uses batch
+    # stats, so the second micro-batch sees the same forward)
+    pa, _, _, ma = step1(params, stats, opt_state, {"x": x, "y": y}, 0.1, 0.0, jax.random.PRNGKey(0))
+    xb = jnp.stack([x, x])
+    yb = jnp.stack([y, y])
+    pb, _, _, mb = step2(params, stats, opt_state, {"x": xb, "y": yb}, 0.1, 0.0, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
 def test_eval_step():
