@@ -1,0 +1,52 @@
+"""Entry point — rebuild of `main.lua` + `run.lua`:
+
+    python -m mgtpu.main -netType cifar/nmg -dataset cifar100-whitened \
+        -data synthetic -nLayer 2 -train -test ...
+
+Boot order mirrors `main.lua:36-58`: parse opts (two-stage), seed, make
+the save dir, build the session (model/mesh/data/steps — replacing the
+multigpu.lua + model.lua + data.lua globals), then dispatch to the
+selected pipeline (`run.lua:1-33`)."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from mgtpu.utils.opts import parse
+
+    opt = parse(argv)
+
+    random.seed(opt.manualSeed)
+    np.random.seed(opt.manualSeed)
+
+    os.makedirs(opt.save, exist_ok=True)
+    with open(os.path.join(opt.save, "opts.json"), "w") as f:
+        json.dump({k: v for k, v in vars(opt).items() if k != "compute_dtype"},
+                  f, indent=2, default=str)
+    print(f"==> run dir: {opt.save}")
+
+    from mgtpu.pipelines.standard import Session
+
+    sess = Session(opt)
+
+    if opt.pipeline == "saliency":
+        from mgtpu.pipelines import saliency
+
+        sess.epoch = 1
+        saliency.run(sess)
+    else:
+        from mgtpu.pipelines import standard
+
+        standard.run(sess)
+    sess.pool.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,12 @@ class NetSpec:
     def stored_outputs(self, outputs) -> Dict[str, Any]:
         return {}
 
+    def initial_state(self, opt, model):
+        """Optional hook: return (params, stats, opt_state) when the
+        model carries its own weights (the torch.load pattern of
+        `mnist-saliency.lua:7-15`); None = init/retrain as usual."""
+        return None
+
 
 # ---- loss functions (reference criteria) ----
 

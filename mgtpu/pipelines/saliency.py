@@ -1,0 +1,113 @@
+"""Saliency pipeline — rebuild of `pipelines/saliency/{pipeline,test}.lua`.
+
+For each test sample the loader expands 1 image into a 1+841 stack of
+occluded variants (`dataset/mnist-saliency`); the whole stack forwards
+in one batched jit call (the reference chunked into 8 to bound GPU
+memory, `saliency/test.lua:132-138` — on TPU the 842-stack is a single
+vectorized forward). `interest_point` picks 7 probe regions (center + 6
+bounding-box-edge points, `:51-117`); the saliency map accumulates
+mask_i * max(|out_i - out_orig| * point_j) * 1(impact >= 0.1)
+(`:146-157`); results go to testOutput.h5 groups
+id%05d/{points,saliency,input,output} (`:163-168`).
+
+The pipeline is just EPOCH=1; test() (`saliency/pipeline.lua:1-2`)."""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def interest_point(output: np.ndarray, th: float = 0.4, dp: int = 1) -> Optional[np.ndarray]:
+    """output: (H, W, 1). Returns (7, H, W, 1) binary probe masks or
+    None when the thresholded output has no extent."""
+    assert output.ndim == 3 and output.shape[-1] == 1
+    o = output[:, :, 0]
+    h, w = o.shape
+    col_max = o.max(axis=0) >= th  # per column
+    row_max = o.max(axis=1) >= th  # per row
+    if col_max.sum() < 2 or row_max.sum() < 2:
+        return None
+    cols = np.flatnonzero(col_max)
+    rows = np.flatnonzero(row_max)
+    col_st, col_ed = int(cols[0]), int(cols[-1])
+    row_st, row_ed = int(rows[0]), int(rows[-1])
+
+    def clamp(p, size):
+        # keep the 2dp+1 window inside the image (`saliency/test.lua:90-94`)
+        if p - dp < 0:
+            p = dp
+        if p + dp >= size:
+            p = size - dp - 1
+        return p
+
+    points = np.zeros((7, h, w, 1), np.float32)
+    x = clamp((col_st + col_ed) // 2, w)
+    y = clamp((row_st + row_ed) // 2, h)
+    points[0, y - dp : y + dp + 1, x - dp : x + dp + 1, 0] = 1
+    k = 1
+    for ix in range(2):
+        x = clamp(col_st + ix * (col_ed - col_st), w)
+        for iy in range(3):
+            y = clamp(row_st + int(math.ceil((row_ed - row_st) * iy / 2)), h)
+            points[k, y - dp : y + dp + 1, x - dp : x + dp + 1, 0] = 1
+            k += 1
+    return points
+
+
+def saliency_map(outputs: np.ndarray, points: np.ndarray, mask: np.ndarray,
+                 threshold: float = 0.1) -> np.ndarray:
+    """outputs: (1+N, H, W, C); points: (7, H, W, 1); mask: (N, H, W, 1).
+    Vectorized version of the reference's accumulation loop."""
+    ori = outputs[0]
+    diff = np.abs(outputs[1:] - ori[None])  # (N, H, W, C)
+    n = diff.shape[0]
+    p = points.shape[0]
+    d = diff.reshape(n, -1, diff.shape[-1])
+    pt = points.reshape(p, -1, 1)
+    # (N, P): max over pixels/channels of diff * point mask
+    impact = np.max(d[:, None] * pt[None], axis=(2, 3))
+    keep = (impact >= threshold).astype(np.float32) * impact  # (N, P)
+    sal = np.einsum("np,nhwk->phwk", keep, mask)
+    return sal.astype(np.float32)
+
+
+def run(sess) -> None:
+    import h5py
+
+    opt = sess.opt
+    loader = sess.loaders["test"]
+    n_test = loader.size()
+    mask = loader.mask  # (841, H, W, 1)
+
+    fwd = jax.jit(lambda p, s, x: sess.model.apply(p, s, x, train=False)[0])
+
+    path = os.path.join(opt.save, "testOutput.h5")
+    os.makedirs(opt.save, exist_ok=True)
+    print("==> doing epoch on testing data:")
+    print("==> online epoch # 1")
+
+    def jobs():
+        for i in range(1, n_test + 1):
+            yield (lambda a=i: (a, loader.get_inputs(a, a, 1)))
+
+    with h5py.File(path, "w") as f:
+        for ind, (x, y) in sess.pool.imap(jobs()):
+            stack = x[0]  # (842, H, W, 1)
+            outputs = np.asarray(fwd(sess.params, sess.stats, jnp.asarray(stack)))
+            points = interest_point(outputs[0])
+            if points is None:  # skip when no confident output extent
+                continue
+            sal = saliency_map(outputs, points, mask)
+            gid = f"id{ind:05d}"
+            print(gid)
+            f.create_dataset(f"{gid}/points", data=points)
+            f.create_dataset(f"{gid}/saliency", data=sal)
+            f.create_dataset(f"{gid}/input", data=stack[0])
+            f.create_dataset(f"{gid}/output", data=outputs)
+    print(f"saliency maps -> {path}")

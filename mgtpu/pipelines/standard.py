@@ -1,0 +1,250 @@
+"""Standard train/test/eval pipeline — rebuild of
+`pipelines/standard/{pipeline,train,test,eval}.lua`.
+
+Epoch driver (`pipeline.lua:1-10`): for EPOCH = epochNumber..nEpochs run
+train(), eval() every nEpochsEval, test() every nEpochsTest, checkpoint
+every nEpochsSave. The per-iteration stdout format keeps the reference's
+`Run:… lr:… Data:…` shape (`train.lua:184-199`)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgtpu.utils.logging import EpochLogger, fmt_metrics, now
+
+
+class Session:
+    """Replaces the reference's process globals (OPT/MODEL/NETOBJ/
+    DONKEYS/trainLoader/... — `main.lua:21-27`) with one object."""
+
+    def __init__(self, opt):
+        import jax
+
+        from mgtpu.data import get_loaders
+        from mgtpu.data.prefetch import DonkeyPool
+        from mgtpu.models import get_net
+        from mgtpu.parallel import make_mesh, replicate, shard_batch
+        from mgtpu.train.optim import sgd_init
+        from mgtpu.train.step import make_eval_step, make_train_step
+        from mgtpu.utils.checkpoint import load_checkpoint, model_meta
+
+        self.opt = opt
+        self.net = get_net(opt.netType)
+        self.model = self.net.create_model(opt)
+        self.loss_fn = self.net.create_loss(opt)
+
+        n_data = opt.nGPU if opt.nGPU > 0 else jax.device_count()
+        self.mesh = make_mesh(n_data=min(n_data, jax.device_count()))
+
+        key = jax.random.PRNGKey(opt.manualSeed)
+        start = self.net.initial_state(opt, self.model) if hasattr(self.net, "initial_state") else None
+        if start is not None:
+            params, stats, opt_state = start
+        elif opt.retrain != "none":
+            ckpt = load_checkpoint(opt.retrain)
+            params, stats = ckpt["params"], ckpt["stats"]
+            opt_state = ckpt["opt_state"] or sgd_init(params)
+            print(f"=> resumed from {opt.retrain} (epoch {ckpt['epoch']})")
+        else:
+            params, stats = jax.jit(self.model.init)(key)
+            opt_state = sgd_init(params)
+        self.params = replicate(self.mesh, params)
+        self.stats = replicate(self.mesh, stats)
+        self.opt_state = replicate(self.mesh, opt_state)
+        self.meta = model_meta(opt)
+
+        self.loaders = get_loaders(opt)
+        self.pool = DonkeyPool(opt.nDonkeys)
+        self.n_test = self.loaders["test"].size() if "test" in self.loaders else 0
+        self.n_eval = self.loaders.get("eval", self.loaders.get("test"))
+        self.epoch = opt.epochNumber
+
+        self.train_step = jax.jit(
+            make_train_step(self.model, self.loss_fn, self.net,
+                            iter_size=opt.iterSize, momentum=opt.momentum)
+        )
+        self.test_step = jax.jit(make_eval_step(self.model, self.loss_fn, self.net, "test"))
+        self.eval_step = jax.jit(make_eval_step(self.model, self.loss_fn, self.net, "eval"))
+        self._shard = lambda tree, axis=0: shard_batch(self.mesh, tree, axis)
+        self._loggers: Dict[str, EpochLogger] = {}
+
+    def logger(self, name: str) -> EpochLogger:
+        if name not in self._loggers:
+            self._loggers[name] = EpochLogger(os.path.join(self.opt.save, f"{name}.log"))
+        return self._loggers[name]
+
+    def lr_wd(self):
+        opt = self.opt
+        if opt.LR != 0.0:  # manual override (`train.lua:25-31`)
+            return {"lr": opt.LR, "wd": opt.weightDecay}
+        return self.net.train_rule(self.epoch, opt)
+
+
+def _acc_update(acc: Dict[str, float], metrics: Dict[str, float], n: int):
+    for k, v in metrics.items():
+        s, c = acc.get(k, (0.0, 0))
+        acc[k] = (s + float(v) * n, c + n)
+
+
+def _acc_mean(acc) -> Dict[str, float]:
+    return {k: s / max(c, 1) for k, (s, c) in acc.items()}
+
+
+def train(sess: Session):
+    opt = sess.opt
+    params = sess.lr_wd()
+    lr, wd = params["lr"], params["wd"]
+    print("==> doing epoch on training data:")
+    print(f"==> online epoch # {sess.epoch}")
+
+    seed0 = opt.manualSeed * 1_000_003 + sess.epoch * opt.epochSize * opt.iterSize
+
+    def make_job(it):
+        def job():
+            micro = []
+            for j in range(opt.iterSize):
+                x, y = sess.loaders["train"].gen_inputs(
+                    opt.batchSize, sess.epoch, seed0 + it * opt.iterSize + j
+                )
+                micro.append((x, y))
+            if opt.iterSize == 1:
+                return {"x": micro[0][0], "y": micro[0][1]}
+            return {
+                "x": np.stack([m[0] for m in micro]),
+                "y": np.stack([m[1] for m in micro]),
+            }
+
+        return job
+
+    acc: Dict[str, tuple] = {}
+    t_epoch = time.time()
+    t_data = time.time()
+    rng = jax.random.PRNGKey(seed0)
+    with jax.set_mesh(sess.mesh):
+        for it, batch in enumerate(sess.pool.imap(make_job(i) for i in range(opt.epochSize))):
+            data_t = time.time() - t_data
+            batch = sess._shard(batch, 1 if opt.iterSize > 1 else 0)
+            rng, sub = jax.random.split(rng)
+            t_run = time.time()
+            sess.params, sess.stats, sess.opt_state, metrics = sess.train_step(
+                sess.params, sess.stats, sess.opt_state, batch, lr, wd, sub
+            )
+            metrics = jax.tree.map(float, metrics)
+            run_t = time.time() - t_run
+            n = opt.batchSize * opt.iterSize
+            _acc_update(acc, metrics, n)
+            print(
+                f"{now()} Epoch: [{sess.epoch}][{it + 1}/{opt.epochSize}]\t"
+                f"Run:{run_t:.3f}s lr:{lr:.3e} Data:{data_t:.3f}s "
+                + fmt_metrics(metrics)
+            )
+            t_data = time.time()
+
+    means = _acc_mean(acc)
+    print(
+        f"Epoch: [{sess.epoch}][TRAINING] Total Time(s): {time.time() - t_epoch:.2f} "
+        + fmt_metrics(means, prefix="avg.")
+    )
+    print()
+    sess.logger("train").add({f"avg.{k} (train set)": v for k, v in means.items()})
+
+
+def _eval_loop(sess: Session, mode: str):
+    """Shared body of test() / eval() (`test.lua:19-95`,
+    `eval.lua:18-84`). test additionally dumps stored outputs to
+    testOutput_<EPOCH>.h5 (`test.lua:63-89`)."""
+    opt = sess.opt
+    loader = sess.loaders.get("test" if mode == "test" else "eval") or sess.loaders["test"]
+    n_total = loader.size()
+    step = sess.test_step if mode == "test" else sess.eval_step
+    print(f"==> doing epoch on {mode} data:")
+    print(f"==> online epoch # {sess.epoch}")
+
+    def jobs():
+        i = 1
+        while i <= n_total:
+            i2 = min(i + opt.batchSize - 1, n_total)
+            yield (lambda a=i, b=i2: loader.get_inputs(a, b, sess.epoch))
+            i = i2 + 1
+
+    metrics_fn = jax.jit(
+        lambda out, y: (sess.net.test_metrics if mode == "test" else sess.net.eval_metrics)(
+            out, y, sess.loss_fn(out, y)
+        )
+    )
+    acc: Dict[str, tuple] = {}
+    stored: Dict[str, list] = {}
+    t0 = time.time()
+    with jax.set_mesh(sess.mesh):
+        for x, y in sess.pool.imap(jobs()):
+            n = x.shape[0]
+            pad = (-n) % sess.mesh.shape["data"]
+            if pad:  # pad the ragged tail batch; metrics on the true slice
+                xp = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+                yp = np.concatenate([y, np.repeat(y[-1:], pad, 0)])
+            else:
+                xp, yp = x, y
+            batch = sess._shard({"x": xp, "y": yp})
+            metrics, out = step(sess.params, sess.stats, batch)
+            if pad:
+                out = jnp.asarray(out)[:n]
+                metrics = metrics_fn(out, jnp.asarray(y))
+            out_t = np.asarray(out)
+            mvals = {k: float(v) for k, v in metrics.items()}
+            _acc_update(acc, mvals, n)
+            for k, v in sess.net.stored_outputs(out_t).items():
+                stored.setdefault(k, []).append(np.asarray(v))
+
+    means = _acc_mean(acc)
+    label = "TESTING" if mode == "test" else "EVALUATION"
+    print(
+        f"Epoch: [{sess.epoch}][{label}] Total Time(s): {time.time() - t0:.2f} "
+        + fmt_metrics(means, prefix="avg.")
+    )
+    print()
+    sess.logger(mode).add({f"avg.{k} ({mode} set)": v for k, v in means.items()})
+
+    if mode == "test" and stored:
+        import h5py
+
+        path = os.path.join(opt.save, f"testOutput_{sess.epoch}.h5")
+        os.makedirs(opt.save, exist_ok=True)
+        with h5py.File(path, "w") as f:
+            for k, chunks in stored.items():
+                f.create_dataset(k, data=np.concatenate(chunks, axis=0))
+        print(f"stored outputs -> {path}")
+    return means
+
+
+def test(sess: Session):
+    return _eval_loop(sess, "test")
+
+
+def evaluate(sess: Session):
+    return _eval_loop(sess, "eval")
+
+
+def run(sess: Session):
+    """Epoch driver (`pipelines/standard/pipeline.lua:1-10`)."""
+    from mgtpu.utils.checkpoint import save_checkpoint
+
+    opt = sess.opt
+    for epoch in range(opt.epochNumber, opt.nEpochs + 1):
+        sess.epoch = epoch
+        if opt.train:
+            train(sess)
+        if opt.eval and epoch % opt.nEpochsEval == 0:
+            evaluate(sess)
+        if opt.test and epoch % opt.nEpochsTest == 0:
+            test(sess)
+        if opt.train and epoch % opt.nEpochsSave == 0:
+            path = os.path.join(opt.save, f"model_{epoch}.ckpt")
+            save_checkpoint(path, sess.params, sess.stats, sess.opt_state,
+                            epoch, sess.meta)
+            print(f"checkpoint -> {path}")

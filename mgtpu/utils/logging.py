@@ -1,0 +1,36 @@
+"""Run-dir loggers — rebuild of optim.Logger usage: train.log /
+test.log / eval.log accumulate one row per epoch
+(`pipelines/standard/train.lua:34,106`)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+
+class EpochLogger:
+    """Appends tab-separated rows with a header, optim.Logger-style."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._names = None
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def add(self, row: Dict[str, float]):
+        names = sorted(row)
+        if self._names is None:
+            self._names = names
+            if not os.path.exists(self.path) or os.path.getsize(self.path) == 0:
+                with open(self.path, "a") as f:
+                    f.write("\t".join(names) + "\n")
+        with open(self.path, "a") as f:
+            f.write("\t".join(f"{row[n]:.6f}" for n in names) + "\n")
+
+
+def now() -> str:
+    return time.strftime("%x %X")
+
+
+def fmt_metrics(metrics: Dict[str, float], prefix: str = "") -> str:
+    return " ".join(f"{prefix}{k}:{v:.5f}" for k, v in metrics.items())

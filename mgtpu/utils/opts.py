@@ -1,0 +1,103 @@
+"""Two-stage option parsing — rebuild of `/root/reference/opts.lua`:
+global flags first, then the selected model's `arguments(parser)` hook
+adds model-specific flags (`opts.lua:56-73`), and the run dir is derived
+from the non-default flag string + timestamp (`opts.lua:79-88`), so
+every run directory is self-describing."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional, Sequence
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="mgtpu training script", allow_abbrev=False
+    )
+    # ------------- General options ---------------------
+    p.add_argument("-cache", default="checkpoint/", help="save/log dir root")
+    p.add_argument("-data", default="/path/to/dataset/folder", help="dataset folder, or 'synthetic'")
+    # ------------- Data options ------------------------
+    p.add_argument("-manualSeed", type=int, default=2)
+    p.add_argument("-GPU", type=int, default=1, help="kept for CLI parity (unused on TPU)")
+    p.add_argument("-nGPU", type=int, default=1,
+                   help="number of devices in the data-parallel mesh (0 = all)")
+    p.add_argument("-nDonkeys", type=int, default=2, help="data loading threads (0 = sync)")
+    p.add_argument("-imageSize", type=int, default=256)
+    p.add_argument("-imageCrop", type=int, default=224)
+    p.add_argument("-colorspace", default="bgr", choices=["gray", "rgb", "bgr"])
+    p.add_argument("-dataAug", default="default", help="default | affine | rotate")
+    # ------------- Training options --------------------
+    p.add_argument("-nEpochs", type=int, default=20)
+    p.add_argument("-epochSize", type=int, default=10000, help="iterations per epoch")
+    p.add_argument("-epochNumber", type=int, default=1, help="epoch to start from (restarts)")
+    p.add_argument("-batchSize", type=int, default=128)
+    p.add_argument("-iterSize", type=int, default=1, help="micro-batches per optim step")
+    # ------------- Testing/Eval options ----------------
+    p.add_argument("-nEpochsTest", type=int, default=1)
+    p.add_argument("-nEpochsEval", type=int, default=1)
+    p.add_argument("-nEpochsSave", type=int, default=1)
+    p.add_argument("-tenCrop", action="store_true",
+                   help="10-crop testing for ilsvrc (latent in the reference)")
+    # ------------- Optimization options ----------------
+    p.add_argument("-LR", type=float, default=0.0, help="overrides the model trainRule if set")
+    p.add_argument("-momentum", type=float, default=0.9)
+    p.add_argument("-weightDecay", type=float, default=5e-4)
+    # ------------- Model options -----------------------
+    p.add_argument("-netType", default="alexnet")
+    p.add_argument("-dataset", default="ilsvrc")
+    p.add_argument("-retrain", default="none", help="checkpoint to resume from")
+    # ------------- Run options -------------------------
+    p.add_argument("-train", action="store_true")
+    p.add_argument("-eval", action="store_true")
+    p.add_argument("-test", action="store_true")
+    p.add_argument("-pipeline", default="standard")
+    # ------------- TPU-native additions ----------------
+    p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="compute dtype for conv/matmul")
+    p.add_argument("-synthSize", type=int, default=2000, help="synthetic dataset size")
+    p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
+    return p
+
+
+def parse(argv: Optional[Sequence[str]] = None):
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+
+    # stage 2: model-contributed flags (opts.lua:56-73)
+    net_type = ""
+    for i, a in enumerate(argv):
+        if a == "-netType" and i + 1 < len(argv):
+            net_type = argv[i + 1]
+    if net_type:
+        from mgtpu.models import get_net
+
+        get_net(net_type).arguments(parser)
+
+    opt = parser.parse_args(argv)
+    if not (opt.train or opt.eval or opt.test):
+        parser.error("Must specify at least one running scheme: train, eval or test.")
+
+    import jax.numpy as jnp
+
+    opt.compute_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else None
+
+    # run dir: cache/<dataset>/<flag-string>/<date> (opts.lua:79-88)
+    defaults = {a.dest: a.default for a in parser._actions}
+    skip = {"netType", "retrain", "cache", "data", "help"}
+    parts = []
+    for k in sorted(vars(opt)):
+        if k in skip or k not in defaults or k == "compute_dtype":
+            continue
+        v = getattr(opt, k)
+        if v != defaults.get(k) and "/" not in str(v):
+            parts.append(f"{k}={v}")
+    flag_str = ",".join(parts) if parts else "default"
+    stamp = time.strftime("%a%b%d%H:%M:%S%Y").replace(" ", "")
+    opt.save = os.path.join(opt.cache, opt.dataset, opt.netType.replace("/", "_"),
+                            flag_str, stamp)
+    return opt

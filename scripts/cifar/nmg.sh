@@ -1,0 +1,17 @@
+#!/bin/sh
+# Rebuild of /root/reference/scripts/cifar/nmg.sh — identical flags; set
+# DATA_PREFIX to your dataset root (defaults to synthetic data).
+python -m mgtpu.main \
+-data ${DATA_PREFIX:-synthetic} \
+-dataset cifar100-whitened \
+-nDonkeys 4 \
+-nEpochs 200 \
+-epochSize 300 \
+-batchSize 128 \
+-imageSize 36 \
+-imageCrop 32 \
+-colorspace bgr \
+-netType cifar/nmg \
+-nLayer 2 \
+-nEpochsSave 60 \
+-train -test "$@"

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""CIFAR ingest: convert the public python pickles to the framework's
+.npz format, optionally producing the ZCA-whitened CIFAR-100 blob the
+reference downloads pre-computed (`README.md:49`,
+`dataset/cifar100-whitened/dataset.lua:44`).
+
+Whitening recipe (standard ZCA as in Goodfellow et al. maxout /
+pylearn2, the lineage of the published blob): global contrast
+normalize each image (subtract its mean, divide by its norm), then
+X_zca = X U (S + eps)^-1/2 U^T with (U, S) from the covariance of the
+TRAIN set; the same transform is applied to test.
+
+Usage:
+  python tools/ingest_cifar.py --root <dir with cifar-100-python/> \
+      --dataset cifar100 --whiten --out cifar100_whitened.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def load_cifar(root: str, name: str):
+    if name == "cifar10":
+        d = os.path.join(root, "cifar-10-batches-py")
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(os.path.join(d, f"data_batch_{i}"), "rb") as f:
+                b = pickle.load(f, encoding="latin1")
+            xs.append(b["data"])
+            ys.extend(b["labels"])
+        with open(os.path.join(d, "test_batch"), "rb") as f:
+            b = pickle.load(f, encoding="latin1")
+        return (np.concatenate(xs), np.asarray(ys)), (b["data"], np.asarray(b["labels"]))
+    d = os.path.join(root, "cifar-100-python")
+
+    def rd(split):
+        with open(os.path.join(d, split), "rb") as f:
+            b = pickle.load(f, encoding="latin1")
+        return np.asarray(b["data"]), np.asarray(b["fine_labels"])
+
+    return rd("train"), rd("test")
+
+
+def gcn(x: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    x = x.astype(np.float64)
+    x = x - x.mean(axis=1, keepdims=True)
+    norm = np.sqrt((x**2).sum(axis=1, keepdims=True)) + eps
+    return x / norm * 55.0  # pylearn2 scale convention
+
+
+def zca_fit(x: np.ndarray, eps: float = 0.1):
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / len(xc)
+    u, s, _ = np.linalg.svd(cov)
+    w = u @ np.diag(1.0 / np.sqrt(s + eps)) @ u.T
+    return mean, w
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--dataset", default="cifar100", choices=["cifar10", "cifar100"])
+    ap.add_argument("--whiten", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    (trd, trl), (ted, tel) = load_cifar(args.root, args.dataset)
+    out = args.out or (
+        f"{args.dataset}_whitened.npz" if args.whiten else f"{args.dataset}.npz"
+    )
+    if args.whiten:
+        tr = gcn(trd)
+        te = gcn(ted)
+        mean, w = zca_fit(tr)
+        trd = ((tr - mean) @ w).astype(np.float32)
+        ted = ((te - mean) @ w).astype(np.float32)
+    np.savez_compressed(
+        out,
+        train_data=trd.astype(np.float32),
+        train_labels=trl.astype(np.int32),
+        test_data=ted.astype(np.float32),
+        test_labels=tel.astype(np.int32),
+    )
+    print(f"wrote {out}: train {trd.shape}, test {ted.shape}")
+
+
+if __name__ == "__main__":
+    main()
