@@ -37,12 +37,14 @@ def main():
     y = (jax.random.uniform(jax.random.PRNGKey(2), (batch,)) * 1000).astype(jnp.int32)
     batch_d = {"x": x, "y": y}
 
-    # warmup / compile
+    # warmup / compile. NOTE: sync by fetching the loss VALUE — on the
+    # axon-relay platform block_until_ready under-waits, inflating
+    # throughput ~5x; float() forces the full dependency chain.
     for i in range(3):
         params, stats, opt_state, m = step(
             params, stats, opt_state, batch_d, 0.1, 1e-4, jax.random.PRNGKey(i)
         )
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     iters = 20
     t0 = time.perf_counter()
@@ -50,7 +52,7 @@ def main():
         params, stats, opt_state, m = step(
             params, stats, opt_state, batch_d, 0.1, 1e-4, jax.random.PRNGKey(i)
         )
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

@@ -298,6 +298,41 @@ class ConvBN:
             y, _ = self.drop.apply({}, {}, y, train=train, rng=rng)
         return y, {"bn": sb}
 
+    def apply_parts(self, p, s, parts, *, train=False, rng=None):
+        """Fused-exchange path: convolve channel-concatenated ``parts``
+        WITHOUT materializing the concat, by splitting the weight along
+        its input-channel axis — conv(concat(xs), W) = sum_i conv(x_i,
+        W_i). Numerically equivalent (up to float summation order) and
+        saves one full write+read of the mixed tensor per mg stage."""
+        rng = _as_rngs(rng)
+        w = p["conv"]["w"]
+        y = None
+        ofs = 0
+        for xp in parts:
+            c = xp.shape[-1]
+            ws = w[:, :, ofs : ofs + c, :]
+            ofs += c
+            xp = cast_to(xp, self.dtype)
+            if self.drop is not None and self.dropout_pos == "before":
+                xp, _ = self.drop.apply({}, {}, xp, train=train, rng=rng)
+            yy = jax.lax.conv_general_dilated(
+                xp,
+                cast_to(ws, self.dtype),
+                window_strides=(self.conv.stride, self.conv.stride),
+                padding=[(self.conv.pad, self.conv.pad)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = yy if y is None else y + yy
+        assert ofs == w.shape[2], (ofs, w.shape)
+        if self.conv.bias:
+            y = y + cast_to(p["conv"]["b"], y.dtype)
+        y, sb = self.bn.apply(p["bn"], s["bn"], y, train=train)
+        if self.relu:
+            y = jax.nn.relu(y)
+        if self.drop is not None and self.dropout_pos == "after":
+            y, _ = self.drop.apply({}, {}, y, train=train, rng=rng)
+        return y, {"bn": sb}
+
 
 @dataclass
 class UpConvBN:

@@ -60,6 +60,21 @@ def resample_concat(pyr: Pyramid) -> Pyramid:
     return tuple(out)
 
 
+def exchange_parts(pyr: Pyramid, i: int):
+    """The i-th scale's resample-concat inputs as a LIST (down, same,
+    up) without concatenating — consumed by ConvBN.apply_parts for the
+    fused-exchange path (split-weight convolution)."""
+    n = len(pyr)
+    parts = []
+    if i > 0:
+        parts.append(maxpool2_ceil(pyr[i - 1]))
+    parts.append(pyr[i])
+    if i + 1 < n:
+        h, w = pyr[i].shape[1], pyr[i].shape[2]
+        parts.append(upsample_nearest2(pyr[i + 1], h, w))
+    return parts
+
+
 def _split_keys(key, n):
     return jax.random.split(key, n) if n > 0 else []
 
@@ -156,6 +171,7 @@ class MgConv:
     eps: float = 1e-5
     dropout: float = 0.0
     dropout_pos: str = "after"
+    fuse_exchange: bool = True
     dtype: Optional[object] = None
 
     def __post_init__(self):
@@ -186,11 +202,20 @@ class MgConv:
 
     def apply(self, p, s, pyr, *, train=False, rng=None):
         rng = _as_rngs(rng)
-        mixed = resample_concat(pyr)
         out, new_s = [], {}
-        for i, conv in enumerate(self.convs):
-            y, new_s[str(i)] = conv.apply(p[str(i)], s[str(i)], mixed[i], train=train, rng=rng)
-            out.append(y)
+        if self.fuse_exchange:
+            for i, conv in enumerate(self.convs):
+                y, new_s[str(i)] = conv.apply_parts(
+                    p[str(i)], s[str(i)], exchange_parts(pyr, i), train=train, rng=rng
+                )
+                out.append(y)
+        else:
+            mixed = resample_concat(pyr)
+            for i, conv in enumerate(self.convs):
+                y, new_s[str(i)] = conv.apply(
+                    p[str(i)], s[str(i)], mixed[i], train=train, rng=rng
+                )
+                out.append(y)
         return tuple(out), new_s
 
 
@@ -262,6 +287,7 @@ class MgResidual:
     dropout: float = 0.0
     shortcut_type: str = "A"
     final_relu: bool = True  # isOut variant skips it (`prnmg.mnist.lua:168`)
+    fuse_exchange: bool = True
     dtype: Optional[object] = None
 
     def __post_init__(self):
@@ -308,8 +334,21 @@ class MgResidual:
         return params, stats
 
     def _stage(self, name, layers, p, s, pyr, train, rng):
-        mixed = resample_concat(pyr)
         out, new_s = [], {}
+        if self.fuse_exchange:
+            for i, layer in enumerate(layers):
+                parts = exchange_parts(pyr, i)
+                if self.drop is not None:
+                    parts = [
+                        self.drop.apply({}, {}, xp, train=train, rng=rng)[0]
+                        for xp in parts
+                    ]
+                y, new_s[str(i)] = layer.apply_parts(
+                    p[name][str(i)], s[name][str(i)], parts, train=train
+                )
+                out.append(y)
+            return tuple(out), new_s
+        mixed = resample_concat(pyr)
         for i, layer in enumerate(layers):
             xi = mixed[i]
             if self.drop is not None:

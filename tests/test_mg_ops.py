@@ -57,8 +57,10 @@ def test_resample_concat_values():
 
 
 def _run(block, pyr, train=False):
-    params, stats = block.init(jax.random.PRNGKey(0))
-    out, new_stats = block.apply(params, stats, pyr, train=train, rng=jax.random.PRNGKey(1))
+    params, stats = jax.jit(block.init)(jax.random.PRNGKey(0))
+    out, new_stats = jax.jit(
+        lambda p, s, x, k: block.apply(p, s, x, train=train, rng=k)
+    )(params, stats, pyr, jax.random.PRNGKey(1))
     return out, params, new_stats
 
 
