@@ -25,18 +25,29 @@ def _ceil_pad(size: int, k: int, s: int) -> int:
     return max(0, (out - 1) * s + k - size)
 
 
+def _maxpool2_even(x: jax.Array) -> jax.Array:
+    """2x2/2 max pool on even H/W as a maximum chain over the four
+    strided phases — avoids reduce_window, whose TPU backward lowers to
+    a slow SelectAndScatter; jnp.maximum's VJP is a cheap select."""
+    a = x[:, 0::2, 0::2]
+    b = x[:, 0::2, 1::2]
+    c = x[:, 1::2, 0::2]
+    d = x[:, 1::2, 1::2]
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+
+
 def maxpool2_ceil(x: jax.Array) -> jax.Array:
     """2x2/2 max pool with ceil semantics (pads right/bottom with -inf)."""
     ph = _ceil_pad(x.shape[1], 2, 2)
     pw = _ceil_pad(x.shape[2], 2, 2)
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (0, ph), (0, pw), (0, 0)),
-    )
+    if ph or pw:
+        neg = (
+            jnp.array(-jnp.inf, x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min
+        )
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=neg)
+    return _maxpool2_even(x)
 
 
 def maxpool(x: jax.Array, k: int, s: int, pad: int = 0) -> jax.Array:
@@ -55,8 +66,15 @@ def maxpool(x: jax.Array, k: int, s: int, pad: int = 0) -> jax.Array:
 
 def avgpool(x: jax.Array, r: int, s: int | None = None) -> jax.Array:
     """r x r / s average pool, VALID (used for the input pyramid where
-    sizes divide exactly, and the 7x7 classifier pool)."""
+    sizes divide exactly, and the 7x7 classifier pool). Reshape-based
+    fast paths avoid reduce_window where possible."""
     s = r if s is None else s
+    n, h, w, c = x.shape
+    if r == h and r == w:  # global (e.g. Avg(7,7) on 7x7)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+    if s == r and h % r == 0 and w % r == 0:
+        y = x.astype(jnp.float32).reshape(n, h // r, r, w // r, r, c).mean(axis=(2, 4))
+        return y.astype(x.dtype)
     y = jax.lax.reduce_window(
         x.astype(jnp.float32),
         0.0,
