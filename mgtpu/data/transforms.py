@@ -28,15 +28,21 @@ _PIL_INTERP = {
 }
 
 
-def _to_pil(img: np.ndarray) -> Image.Image:
-    # PIL 'F' mode is single channel; handle C channels separately
-    return img
+try:  # native C++ data plane (mgtpu/native/mgdata.cpp); PIL is the fallback
+    from mgtpu import native as _native
+
+    _HAVE_NATIVE = _native.available()
+except Exception:  # pragma: no cover - missing toolchain
+    _native, _HAVE_NATIVE = None, False
 
 
 def _resize(img: np.ndarray, w: int, h: int, interpolation: str = "bicubic") -> np.ndarray:
-    """Resize HWC float image to (h, w) with PIL per channel."""
+    """Resize HWC float image to (h, w); native separable resampler when
+    built, PIL per channel otherwise (bit-identical, see tests/test_native.py)."""
     if img.shape[0] == h and img.shape[1] == w:
         return img
+    if _HAVE_NATIVE:
+        return _native.resize(img.astype(np.float32, copy=False), h, w, interpolation)
     interp = _PIL_INTERP[interpolation]
     chans = [
         np.asarray(
@@ -183,6 +189,8 @@ def _warp_affine(img: np.ndarray, mat: np.ndarray, interpolation=Image.BILINEAR)
     # offset so the center maps to itself
     off = np.array([cx, cy]) - a_xy @ np.array([cx, cy])
     coeffs = (a_xy[0, 0], a_xy[0, 1], off[0], a_xy[1, 0], a_xy[1, 1], off[1])
+    if _HAVE_NATIVE and interpolation == Image.BILINEAR:
+        return _native.warp_affine(img.astype(np.float32, copy=False), coeffs)
     chans = [
         np.asarray(
             Image.fromarray(img[:, :, c].astype(np.float32), mode="F").transform(
