@@ -122,6 +122,11 @@ def train(sess: Session):
 
         return job
 
+    # tracing subsystem (SURVEY §5): -profile DIR captures iterations
+    # 2..9 (1 is compile) of the first profiled epoch with jax.profiler
+    prof_dir = getattr(opt, "profile", "")
+    prof_live = False
+
     acc: Dict[str, tuple] = {}
     t_epoch = time.time()
     t_data = time.time()
@@ -129,6 +134,9 @@ def train(sess: Session):
     with jax.set_mesh(sess.mesh):
         for it, batch in enumerate(sess.pool.imap(make_job(i) for i in range(opt.epochSize))):
             data_t = time.time() - t_data
+            if prof_dir and it == 1 and not prof_live:
+                jax.profiler.start_trace(prof_dir)
+                prof_live = True
             batch = sess._shard(batch, 1 if opt.iterSize > 1 else 0)
             rng, sub = jax.random.split(rng)
             t_run = time.time()
@@ -137,6 +145,11 @@ def train(sess: Session):
             )
             metrics = jax.tree.map(float, metrics)
             run_t = time.time() - t_run
+            if prof_live and it >= 8:
+                jax.profiler.stop_trace()
+                prof_live = False
+                prof_dir = ""
+                print(f"profiler trace -> {opt.profile}")
             n = opt.batchSize * opt.iterSize
             _acc_update(acc, metrics, n)
             print(
@@ -145,6 +158,9 @@ def train(sess: Session):
                 + fmt_metrics(metrics)
             )
             t_data = time.time()
+        if prof_live:  # epochSize < 9: close the trace at epoch end
+            jax.profiler.stop_trace()
+            print(f"profiler trace -> {opt.profile}")
 
     means = _acc_mean(acc)
     print(

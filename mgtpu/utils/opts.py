@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")
     p.add_argument("-synthSize", type=int, default=2000, help="synthetic dataset size")
+    p.add_argument("-profile", default="", metavar="DIR",
+                   help="capture a jax profiler trace of train iterations "
+                        "2..9 of the first epoch into DIR (view with "
+                        "tensorboard/xprof)")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
     return p
 
