@@ -117,8 +117,10 @@ class MgConvInput:
     def apply(self, p, s, x, *, train=False, rng=None):
         rng = _as_rngs(rng)
         out, new_s = [], {}
+        xi = x
         for i, conv in enumerate(self.convs):
-            xi = avgpool(x, 2**i) if i > 0 else x
+            if i > 0:  # progressive: avgpool2 of the previous scale ==
+                xi = avgpool(xi, 2)  # avgpool(2^i) of x, at 1/4 the bytes
             y, new_s[str(i)] = conv.apply(p[str(i)], s[str(i)], xi, train=train, rng=rng)
             out.append(y)
         return tuple(out), new_s
@@ -152,8 +154,10 @@ class MgStem7x7:
 
     def apply(self, p, s, x, *, train=False, rng=None):
         out, new_s = [], {}
+        xi = x
         for i, conv in enumerate(self.convs):
-            xi = avgpool(x, 2**i) if i > 0 else x
+            if i > 0:  # progressive dyadic pyramid (== avgpool(2^i) of x)
+                xi = avgpool(xi, 2)
             y, new_s[str(i)] = conv.apply(p[str(i)], s[str(i)], xi, train=train)
             out.append(maxpool(y, 3, 2, 1))
         return tuple(out), new_s

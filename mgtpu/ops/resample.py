@@ -25,29 +25,23 @@ def _ceil_pad(size: int, k: int, s: int) -> int:
     return max(0, (out - 1) * s + k - size)
 
 
-def _maxpool2_even(x: jax.Array) -> jax.Array:
-    """2x2/2 max pool on even H/W as a maximum chain over the four
-    strided phases — avoids reduce_window, whose TPU backward lowers to
-    a slow SelectAndScatter; jnp.maximum's VJP is a cheap select."""
-    a = x[:, 0::2, 0::2]
-    b = x[:, 0::2, 1::2]
-    c = x[:, 1::2, 0::2]
-    d = x[:, 1::2, 1::2]
-    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
-
-
 def maxpool2_ceil(x: jax.Array) -> jax.Array:
-    """2x2/2 max pool with ceil semantics (pads right/bottom with -inf)."""
+    """2x2/2 max pool with ceil semantics (pads right/bottom with -inf).
+
+    reduce_window measured fastest on TPU v5e in BOTH directions
+    (168us fwd / 292us fwd+bwd on 128x56x56x64 bf16) — strided-phase
+    slicing lowers to gathers on the tiled layout (1.8ms fwd) and
+    reshape+max to 716us fwd+bwd."""
     ph = _ceil_pad(x.shape[1], 2, 2)
     pw = _ceil_pad(x.shape[2], 2, 2)
-    if ph or pw:
-        neg = (
-            jnp.array(-jnp.inf, x.dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else jnp.iinfo(x.dtype).min
-        )
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=neg)
-    return _maxpool2_even(x)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, ph), (0, pw), (0, 0)),
+    )
 
 
 def maxpool(x: jax.Array, k: int, s: int, pad: int = 0) -> jax.Array:
