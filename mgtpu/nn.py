@@ -299,29 +299,63 @@ class ConvBN:
         return y, {"bn": sb}
 
     def apply_parts(self, p, s, parts, *, train=False, rng=None):
-        """Fused-exchange path: convolve channel-concatenated ``parts``
-        WITHOUT materializing the concat, by splitting the weight along
-        its input-channel axis — conv(concat(xs), W) = sum_i conv(x_i,
-        W_i). Numerically equivalent (up to float summation order) and
-        saves one full write+read of the mixed tensor per mg stage."""
+        """Fused-exchange path: convolve channel-concatenated exchange
+        parts WITHOUT materializing the concat, by splitting the weight
+        along its input-channel axis — conv(concat(xs), W) = sum_i
+        conv(x_i, W_i). ``parts`` is a list of ``(kind, tensor)`` from
+        ops.mg.exchange_parts; the "up" part arrives at COARSE
+        resolution and its nearest-upsample is folded into the conv:
+
+          k=3: conv3x3(up2(x), W) == dilated_conv(x, K, lhs_dilation=2,
+               pad=2) with K[u,v] = sum_{a,b in {0,1}} W[u-a, v-b]
+               (4x4 kernel, stride-2 transposed conv) — 4 taps per
+               output pixel instead of 9 and no 2x-materialized tensor.
+          k=1: conv1x1 at coarse res, then upsample the RESULT (4x
+               fewer MACs).
+
+        Numerically exact up to float summation order. Falls back to
+        materializing when train-mode dropout needs a fine-res mask."""
         rng = _as_rngs(rng)
+        from mgtpu.ops.mg import materialize_part  # cycle-free at call time
+
         w = p["conv"]["w"]
+        drop_live = self.drop is not None and self.dropout_pos == "before" and train
+        oh = ow = None
+        for kind, xp in parts:
+            if kind != "up":
+                oh, ow = xp.shape[1], xp.shape[2]
         y = None
         ofs = 0
-        for xp in parts:
+        for kind, xp in parts:
             c = xp.shape[-1]
-            ws = w[:, :, ofs : ofs + c, :]
+            ws = cast_to(w[:, :, ofs : ofs + c, :], self.dtype)
             ofs += c
+            if kind == "up" and drop_live:
+                xp = materialize_part(kind, xp, oh, ow)
+                kind = "same"
             xp = cast_to(xp, self.dtype)
             if self.drop is not None and self.dropout_pos == "before":
                 xp, _ = self.drop.apply({}, {}, xp, train=train, rng=rng)
-            yy = jax.lax.conv_general_dilated(
-                xp,
-                cast_to(ws, self.dtype),
-                window_strides=(self.conv.stride, self.conv.stride),
-                padding=[(self.conv.pad, self.conv.pad)] * 2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            exact2x = kind == "up" and oh == 2 * xp.shape[1] and ow == 2 * xp.shape[2]
+            if (exact2x and self.k == 3 and self.conv.stride == 1
+                    and self.conv.pad == 1):
+                yy = _conv_up3(xp, ws, oh, ow)
+            elif kind == "up" and self.k == 1 and self.conv.stride == 1:
+                yy = jax.lax.conv_general_dilated(
+                    xp, ws, (1, 1), [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                yy = jnp.repeat(jnp.repeat(yy, 2, axis=1), 2, axis=2)[:, :oh, :ow]
+            else:
+                if kind == "up":
+                    xp = materialize_part(kind, xp, oh, ow)
+                yy = jax.lax.conv_general_dilated(
+                    xp,
+                    ws,
+                    window_strides=(self.conv.stride, self.conv.stride),
+                    padding=[(self.conv.pad, self.conv.pad)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             y = yy if y is None else y + yy
         assert ofs == w.shape[2], (ofs, w.shape)
         if self.conv.bias:
@@ -357,6 +391,26 @@ class UpConvBN:
         y, _ = self.upconv.apply(p["conv"], {}, x, train=train)
         y, sb = self.bn.apply(p["bn"], s["bn"], y, train=train)
         return jax.nn.relu(y), {"bn": sb}
+
+
+def _conv_up3(xp, ws, oh: int, ow: int):
+    """conv3x3(nearest_up2(xp), ws, pad=1) as a stride-2 transposed
+    (lhs-dilated) convolution with the 4x4 kernel
+    K[u,v] = sum_{a,b in {0,1}} W[u-a, v-b]. Requires the exact-2x case
+    (oh, ow) == (2h, 2w) — callers fall back to a materialized upsample
+    for odd ceil-crops, whose bottom/right boundary taps differ.
+    Exactness (values and grads) pinned in tests/test_fused_exchange.py."""
+    assert (oh, ow) == (2 * xp.shape[1], 2 * xp.shape[2])
+    ci, co = ws.shape[2], ws.shape[3]
+    K = jnp.zeros((4, 4, ci, co), ws.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            K = K.at[a : a + 3, b : b + 3].add(ws)
+    return jax.lax.conv_general_dilated(
+        xp, K, (1, 1), [(2, 2), (2, 2)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 def param_count(tree) -> int:

@@ -61,18 +61,28 @@ def resample_concat(pyr: Pyramid) -> Pyramid:
 
 
 def exchange_parts(pyr: Pyramid, i: int):
-    """The i-th scale's resample-concat inputs as a LIST (down, same,
-    up) without concatenating — consumed by ConvBN.apply_parts for the
-    fused-exchange path (split-weight convolution)."""
+    """The i-th scale's resample-concat inputs as a LIST of
+    ``(kind, tensor)`` without concatenating — consumed by
+    ConvBN.apply_parts for the fused-exchange path (split-weight
+    convolution). The coarser neighbour is passed RAW (kind="up") so the
+    consumer can fold the nearest-upsample into its convolution
+    (stride-2 dilated conv; see ConvBN.apply_parts) instead of
+    materializing the 2x tensor."""
     n = len(pyr)
     parts = []
     if i > 0:
-        parts.append(maxpool2_ceil(pyr[i - 1]))
-    parts.append(pyr[i])
+        parts.append(("down", maxpool2_ceil(pyr[i - 1])))
+    parts.append(("same", pyr[i]))
     if i + 1 < n:
-        h, w = pyr[i].shape[1], pyr[i].shape[2]
-        parts.append(upsample_nearest2(pyr[i + 1], h, w))
+        parts.append(("up", pyr[i + 1]))
     return parts
+
+
+def materialize_part(kind: str, xp, oh: int, ow: int):
+    """Resolve an exchange part to its fine-resolution tensor."""
+    if kind == "up":
+        return upsample_nearest2(xp, oh, ow)
+    return xp
 
 
 def _split_keys(key, n):
@@ -342,10 +352,15 @@ class MgResidual:
         if self.fuse_exchange:
             for i, layer in enumerate(layers):
                 parts = exchange_parts(pyr, i)
-                if self.drop is not None:
+                if self.drop is not None and train:
+                    # dropout masks live at fine resolution
+                    # (`rnmg.lua:91-100`): materialize the up part first
+                    oh, ow = pyr[i].shape[1], pyr[i].shape[2]
                     parts = [
-                        self.drop.apply({}, {}, xp, train=train, rng=rng)[0]
-                        for xp in parts
+                        ("same", self.drop.apply(
+                            {}, {}, materialize_part(k, xp, oh, ow),
+                            train=train, rng=rng)[0])
+                        for k, xp in parts
                     ]
                 y, new_s[str(i)] = layer.apply_parts(
                     p[name][str(i)], s[name][str(i)], parts, train=train
