@@ -28,10 +28,14 @@ def _ceil_pad(size: int, k: int, s: int) -> int:
 def maxpool2_ceil(x: jax.Array) -> jax.Array:
     """2x2/2 max pool with ceil semantics (pads right/bottom with -inf).
 
-    reduce_window measured fastest on TPU v5e in BOTH directions
-    (168us fwd / 292us fwd+bwd on 128x56x56x64 bf16) — strided-phase
-    slicing lowers to gathers on the tiled layout (1.8ms fwd) and
-    reshape+max to 716us fwd+bwd."""
+    reduce_window is the measured winner on TPU v5e in BOTH directions
+    (128x56x56x64 bf16: 220us fwd, 278us fwd + SelectAndScatter bwd).
+    Rejected variants, measured: strided-phase slicing lowers to
+    gathers on the tiled layout (1.8ms fwd); a custom mask VJP
+    (dx = (x == up2(y)) * up2(g)) costs 570us fwd+bwd — the nearest-
+    upsample broadcasts are pricier than SelectAndScatter itself; a
+    Pallas row-pair kernel ran 1.1ms fwd (grid overhead + sublane
+    reshapes, see ops/pallas_pool.py)."""
     ph = _ceil_pad(x.shape[1], 2, 2)
     pw = _ceil_pad(x.shape[2], 2, 2)
     return jax.lax.reduce_window(

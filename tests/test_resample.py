@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -63,3 +64,19 @@ def test_upsample_crop_to_odd_partner():
 def test_global_avgpool():
     x = jnp.ones((2, 7, 7, 5))
     assert global_avgpool(x).shape == (2, 5)
+
+
+def test_maxpool2_vjp_routes_gradient_to_argmax():
+    """reduce_window maxpool backward (SelectAndScatter) sends the
+    cotangent to the window argmax and zero elsewhere."""
+    rng = np.random.RandomState(11)
+    for shape in [(2, 8, 8, 3), (2, 7, 9, 3)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        y, vjp = jax.vjp(maxpool2_ceil, x)
+        g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+        dx = np.asarray(vjp(g)[0])
+        # total gradient mass is conserved
+        np.testing.assert_allclose(dx.sum(), np.asarray(g).sum(), rtol=1e-5)
+        # nonzero entries only where x attains the pooled max
+        yu = np.repeat(np.repeat(np.asarray(y), 2, 1), 2, 2)[:, :shape[1], :shape[2]]
+        assert np.all((dx != 0) <= (np.asarray(x) == yu))
