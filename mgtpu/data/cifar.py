@@ -21,11 +21,16 @@ CIFAR100_MEANSTD = ([129.3, 124.1, 112.4], [68.2, 65.4, 70.4])  # cifar100/donke
 CIFAR10_MEANSTD = ([125.3, 123.0, 113.9], [63.0, 62.1, 66.7])  # cifar10/donkey.lua:23-25
 
 
-def _synth_classification(n, n_classes, hw=32, c=3, seed=7, scale=1.0):
+def _synth_classification(n, n_classes, hw=32, c=3, seed=7, scale=1.0,
+                          proto_seed=7):
     """Class-structured noise: class-dependent mean pattern + noise, so
-    smoke training can actually reduce loss."""
+    smoke training can actually reduce loss. The prototypes come from
+    ``proto_seed`` so train and test splits share them (otherwise the
+    test split is unlearnable and convergence smoke tests read 0%)."""
+    protos = np.random.default_rng(proto_seed).normal(
+        0, 1, (n_classes, hw, hw, c)
+    ).astype(np.float32)
     rng = np.random.default_rng(seed)
-    protos = rng.normal(0, 1, (n_classes, hw, hw, c)).astype(np.float32)
     labels = np.arange(n, dtype=np.int32) % n_classes
     noise = rng.normal(0, 1, (n, hw, hw, c)).astype(np.float32)
     images = (protos[labels] + noise) * scale
