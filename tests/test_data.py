@@ -145,3 +145,38 @@ def test_ilsvrc_tencrop():
     loaders = get_loaders(_opt(dataset="ilsvrc", synthSize=8, synthClasses=10, tenCrop=True))
     xt, yt = loaders["test"].get_inputs(1, 1, epoch=1)
     assert xt.shape == (1, 10, 224, 224, 3)
+
+
+def test_ilsvrc_folder_tree(tmp_path):
+    """Real directory-per-class tree: discovery order, balanced
+    sampling, sequential get, and the corrupt-JPEG fallback
+    (`dataset/ilsvrc/donkey.lua:37-57` semantics)."""
+    from PIL import Image as PILImage
+
+    from mgtpu.data.ilsvrc import FolderDataset, load_image
+
+    rng = np.random.default_rng(0)
+    for ci, cname in enumerate(["n01", "n02", "n03"]):
+        d = tmp_path / "train" / cname
+        d.mkdir(parents=True)
+        for j in range(3):
+            arr = (rng.uniform(size=(40, 48, 3)) * 255).astype(np.uint8)
+            arr[..., 0] = ci * 80  # class-coded red channel
+            PILImage.fromarray(arr).save(d / f"img{j}.jpg")
+    # a JPEG with trailing garbage (decodable via the fallback path)
+    bad = tmp_path / "train" / "n01" / "img3.jpg"
+    data = (tmp_path / "train" / "n01" / "img0.jpg").read_bytes()
+    bad.write_bytes(data + b"\x00garbage")
+
+    ds = FolderDataset(str(tmp_path / "train"), hook=lambda im, rng: im[:32, :32])
+    assert ds.size() == 10
+    assert ds.classes == ["n01", "n02", "n03"]
+    x, y = ds.gen_inputs(16, epoch=1, seed=4)
+    assert x.shape == (16, 32, 32, 3)
+    assert set(np.unique(y)) <= {0, 1, 2}
+    # balanced sampling hits every class in a 16-draw batch w.h.p.
+    assert len(np.unique(y)) == 3
+    x2, y2 = ds.get_inputs(1, 4, epoch=1)
+    assert x2.shape == (4, 32, 32, 3) and y2.tolist() == [0, 0, 0, 0]
+    img = load_image(str(bad))
+    assert img.shape == (40, 48, 3) and img.max() <= 1.0
