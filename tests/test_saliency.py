@@ -1,0 +1,71 @@
+"""Unit tests for the saliency pipeline's probe-point selection and
+occlusion-impact accumulation (mgtpu/pipelines/saliency.py), pinned to
+the reference's semantics (`pipelines/saliency/test.lua:51-117` probe
+layout; `:146-157` impact>=0.1 gated mask sum)."""
+
+import numpy as np
+
+from mgtpu.pipelines.saliency import interest_point, saliency_map
+
+
+def _probe_centers(points):
+    """Center pixel of each (2dp+1)^2 probe window."""
+    out = []
+    for k in range(points.shape[0]):
+        ys, xs = np.nonzero(points[k, :, :, 0])
+        out.append((int(round(ys.mean())), int(round(xs.mean()))))
+    return out
+
+
+def test_interest_point_probe_layout():
+    out = np.zeros((16, 16, 1), np.float32)
+    out[4:13, 6:11, 0] = 1.0  # box rows 4..12, cols 6..10
+    pts = interest_point(out, th=0.4, dp=1)
+    assert pts is not None and pts.shape == (7, 16, 16, 1)
+    centers = _probe_centers(pts)
+    # center of box: ((4+12)//2, (6+10)//2)
+    assert centers[0] == (8, 8)
+    # 6 box-edge probes: x in {col_st, col_ed}, y in {row_st, mid, row_ed}
+    expected = {(4, 6), (8, 6), (12, 6), (4, 10), (8, 10), (12, 10)}
+    assert set(centers[1:]) == expected
+    # every probe window is (2dp+1)^2 = 9 pixels
+    assert all(points.sum() == 9 for points in pts[:, :, :, 0])
+
+
+def test_interest_point_clamps_to_border():
+    out = np.zeros((8, 8, 1), np.float32)
+    out[0:8, 0:8, 0] = 1.0  # full-extent box -> corners clamp inward
+    pts = interest_point(out, th=0.4, dp=1)
+    centers = _probe_centers(pts)
+    assert (1, 1) in centers and (6, 6) in centers  # clamped corners
+    assert all(points.sum() == 9 for points in pts[:, :, :, 0])
+
+
+def test_interest_point_none_without_extent():
+    out = np.zeros((8, 8, 1), np.float32)
+    out[3, 3, 0] = 1.0  # single row/col above threshold -> no box
+    assert interest_point(out, th=0.4) is None
+    assert interest_point(np.zeros((8, 8, 1), np.float32)) is None
+
+
+def test_saliency_map_gated_accumulation():
+    h = w = 4
+    # original output + 2 occluded variants
+    outputs = np.zeros((3, h, w, 1), np.float32)
+    outputs[1, 1, 1, 0] = 0.5   # variant 1 differs by 0.5 at (1,1)
+    outputs[2, 2, 2, 0] = 0.05  # variant 2 differs by 0.05 (below gate)
+    points = np.zeros((7, h, w, 1), np.float32)
+    points[0, 1, 1, 0] = 1.0    # probe 0 watches (1,1)
+    points[3, 2, 2, 0] = 1.0    # probe 3 watches (2,2)
+    mask = np.zeros((2, h, w, 1), np.float32)
+    mask[0, 0, 0, 0] = 1.0      # variant 1 occluded the (0,0) region
+    mask[1, 3, 3, 0] = 1.0
+    sal = saliency_map(outputs, points, mask, threshold=0.1)
+    assert sal.shape == (7, h, w, 1)
+    # probe 0: impact 0.5 >= 0.1 -> mask_0 * 0.5 lands at (0,0)
+    assert sal[0, 0, 0, 0] == np.float32(0.5)
+    assert sal[0].sum() == np.float32(0.5)
+    # probe 3: impact 0.05 < 0.1 -> gated out entirely
+    assert sal[3].sum() == 0.0
+    # probes that watch nothing accumulate nothing
+    assert sal[1].sum() == sal[6].sum() == 0.0
