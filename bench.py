@@ -81,11 +81,14 @@ def main():
     net = get_net("ilsvrc/rnmg")
     model = net.create_model(opt)
     params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
-    n_chips = jax.device_count()
+    # the jitted fns run unsharded on the default device, so this is a
+    # single-chip measurement by construction — images/sec/chip needs
+    # no device_count division (which would underreport on multi-chip
+    # hosts)
 
-    ips = bench_infer(model, params, stats, batch) / n_chips
+    ips = bench_infer(model, params, stats, batch)
     if with_train:
-        tips = bench_train(model, net, opt, params, stats, batch) / n_chips
+        tips = bench_train(model, net, opt, params, stats, batch)
         print(f"train fwd+bwd+sgd: {tips:.1f} images/sec/chip (batch {batch})",
               file=sys.stderr)
 

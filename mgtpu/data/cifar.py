@@ -22,7 +22,7 @@ CIFAR10_MEANSTD = ([125.3, 123.0, 113.9], [63.0, 62.1, 66.7])  # cifar10/donkey.
 
 
 def _synth_classification(n, n_classes, hw=32, c=3, seed=7, scale=1.0,
-                          proto_seed=7):
+                          proto_seed=424243):
     """Class-structured noise: class-dependent mean pattern + noise, so
     smoke training can actually reduce loss. The prototypes come from
     ``proto_seed`` so train and test splits share them (otherwise the

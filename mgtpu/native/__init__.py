@@ -124,6 +124,8 @@ def crop_flip_normalize(
     assert lib is not None
     img = np.ascontiguousarray(img, np.float32)
     h, w, c = img.shape
+    if not (0 <= y1 and 0 <= x1 and y1 + size <= h and x1 + size <= w):
+        raise ValueError(f"crop ({y1},{x1})+{size} exceeds image {h}x{w}")
     if out is None:
         out = np.empty((size, size, c), np.float32)
     mean = np.ascontiguousarray(np.broadcast_to(mean, (c,)), np.float32)

@@ -317,6 +317,7 @@ class ConvBN:
         materializing when train-mode dropout needs a fine-res mask."""
         rng = _as_rngs(rng)
         from mgtpu.ops.mg import materialize_part  # cycle-free at call time
+        from mgtpu.ops.resample import upsample_nearest2
 
         w = p["conv"]["w"]
         drop_live = self.drop is not None and self.dropout_pos == "before" and train
@@ -345,7 +346,7 @@ class ConvBN:
                     xp, ws, (1, 1), [(0, 0), (0, 0)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                yy = jnp.repeat(jnp.repeat(yy, 2, axis=1), 2, axis=2)[:, :oh, :ow]
+                yy = upsample_nearest2(yy, oh, ow)
             else:
                 if kind == "up":
                     xp = materialize_part(kind, xp, oh, ow)

@@ -35,6 +35,10 @@ def _fwd_kernel(x_ref, y_ref):
 
 
 def _bwd_kernel(x_ref, y_ref, g_ref, dx_ref):
+    # KNOWN divergence from SelectAndScatter: a window whose max is
+    # attained by k>1 elements receives the cotangent at EVERY tied
+    # element (sum(dx) = k*g) instead of one winner. Pinned in
+    # tests/test_pallas_pool.py::test_pallas_pool_backward_tie_semantics.
     h = x_ref.shape[1]
     w, c = x_ref.shape[2], x_ref.shape[3]
     zero = jnp.zeros((), dx_ref.dtype)

@@ -123,8 +123,8 @@ def train(sess: Session):
         return job
 
     # tracing subsystem (SURVEY §5): -profile DIR captures iterations
-    # 2..9 (1 is compile) of the first profiled epoch with jax.profiler
-    prof_dir = getattr(opt, "profile", "")
+    # 2..9 (1 is compile) of the FIRST epoch only with jax.profiler
+    prof_dir = getattr(opt, "profile", "") if sess.epoch == opt.epochNumber else ""
     prof_live = False
 
     acc: Dict[str, tuple] = {}

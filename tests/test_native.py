@@ -111,3 +111,13 @@ def test_transforms_use_native(rng):
     assert out.shape == (36, 36, 3)
     rot = T.rotation_exact(0.5)(img, rng)
     assert rot.shape == img.shape
+
+
+def test_crop_flip_normalize_bounds_checked(rng):
+    img = rng.normal(size=(30, 30, 3)).astype(np.float32)
+    with pytest.raises(ValueError):
+        native.crop_flip_normalize(img, 0, 0, 32, False,
+                                   np.zeros(3, np.float32), np.ones(3, np.float32))
+    with pytest.raises(ValueError):
+        native.crop_flip_normalize(img, 5, 5, 28, False,
+                                   np.zeros(3, np.float32), np.ones(3, np.float32))

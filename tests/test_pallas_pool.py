@@ -31,3 +31,17 @@ def test_pallas_pool_backward_matches_xla():
         dx = jax.vjp(maxpool2_pallas, x)[1](g)[0]
     dref = jax.vjp(maxpool2_ceil, x)[1](g)[0]
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dref), atol=1e-6)
+
+
+def test_pallas_pool_backward_tie_semantics():
+    """Documented divergence: on tied window maxima the Pallas backward
+    duplicates the cotangent across ties (sum(dx) = k*g), while the XLA
+    SelectAndScatter path routes it to a single winner. This pins the
+    divergence so it stays a known property, not a surprise."""
+    x = jnp.zeros((1, 2, 2, 1), jnp.float32)  # all four elements tie
+    g = jnp.ones((1, 1, 1, 1), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        dx = jax.vjp(maxpool2_pallas, x)[1](g)[0]
+    assert float(jnp.sum(dx)) == 4.0  # every tie receives g
+    dref = jax.vjp(maxpool2_ceil, x)[1](g)[0]
+    assert float(jnp.sum(dref)) == 1.0  # XLA picks one winner
