@@ -1,0 +1,127 @@
+"""End-to-end tests for the offline tools (SURVEY §2.7): IDX MNIST
+ingest, cluttered-MNIST task generation, CIFAR ZCA ingest, and the
+offline meanIU/meanAcc computation. Each drives the real CLI via its
+main() with constructed inputs in tmp dirs."""
+
+import gzip
+import json
+import os
+import pickle
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+
+
+def _run(tool, *args):
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, tool), *args],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def _write_idx(path, arr):
+    arr = np.asarray(arr, np.uint8)
+    magic = 0x800 + arr.ndim
+    header = struct.pack(f">i{arr.ndim}i", magic, *arr.shape)
+    with gzip.open(path, "wb") as f:
+        f.write(header + arr.tobytes())
+
+
+def test_download_mnist_idx_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    src = tmp_path / "raw"
+    src.mkdir()
+    tri = rng.integers(0, 255, (60000, 28, 28), np.uint8)
+    trl = rng.integers(0, 10, (60000,), np.uint8)
+    tei = rng.integers(0, 255, (10000, 28, 28), np.uint8)
+    tel = rng.integers(0, 10, (10000,), np.uint8)
+    _write_idx(src / "train-images-idx3-ubyte.gz", tri)
+    _write_idx(src / "train-labels-idx1-ubyte.gz", trl)
+    _write_idx(src / "t10k-images-idx3-ubyte.gz", tei)
+    _write_idx(src / "t10k-labels-idx1-ubyte.gz", tel)
+    out = tmp_path / "mnist.npz"
+    _run("download_mnist.py", "--src", str(src), "--out", str(out))
+    z = np.load(out)
+    assert z["train_images"].shape == (50000, 28, 28)
+    assert z["valid_images"].shape == (10000, 28, 28)
+    assert z["test_images"].shape == (10000, 28, 28)
+    np.testing.assert_array_equal(z["train_images"], tri[:50000])
+    np.testing.assert_array_equal(z["valid_labels"], trl[50000:])
+
+
+def test_generate_mnist_cluttered_segmentation(tmp_path):
+    rng = np.random.default_rng(1)
+    # tiny fake mnist.npz with digit-ish blobs
+    def blobs(n):
+        imgs = np.zeros((n, 28, 28), np.uint8)
+        for i in range(n):
+            y, x = rng.integers(6, 18, 2)
+            imgs[i, y : y + 8, x : x + 8] = 255
+        return imgs
+    npz = tmp_path / "mnist.npz"
+    np.savez(npz,
+             train_images=blobs(40), train_labels=np.arange(40) % 10,
+             valid_images=blobs(20), valid_labels=np.arange(20) % 10,
+             test_images=blobs(20), test_labels=np.arange(20) % 10)
+    _run("generate_mnist_cluttered.py", "--mnist", str(npz),
+         "--task", "segmentation", "--out-dir", str(tmp_path),
+         "--scale", "0.002")
+    z = np.load(tmp_path / "mnist_segmentation.npz")
+    assert z["train_inputs"].shape[1:3] == (64, 64)
+    assert z["train_targets"].shape[-1] == 10  # 10-channel class masks
+    assert z["test_inputs"].shape[0] == 2
+    assert 0.0 <= z["train_inputs"].max() <= 1.0
+
+
+def test_ingest_cifar_whitening(tmp_path):
+    rng = np.random.default_rng(2)
+    d = tmp_path / "cifar-100-python"
+    d.mkdir(parents=True)
+    def dump(split, n):
+        with open(d / split, "wb") as f:
+            pickle.dump({
+                "data": rng.integers(0, 255, (n, 3072), np.uint8),
+                "fine_labels": (np.arange(n) % 100).tolist(),
+            }, f)
+    dump("train", 240)
+    dump("test", 60)
+    out = tmp_path / "w.npz"
+    _run("ingest_cifar.py", "--root", str(tmp_path), "--dataset", "cifar100",
+         "--whiten", "--out", str(out))
+    z = np.load(out)
+    assert z["train_data"].shape == (240, 3072)
+    assert z["train_labels"].shape == (240,)
+    # ZCA decorrelates: off-diagonal covariance shrinks vs raw
+    x = z["train_data"].astype(np.float64)
+    cov = np.cov(x[:, :64], rowvar=False)
+    off = np.abs(cov - np.diag(np.diag(cov))).mean()
+    assert off < np.abs(np.diag(cov)).mean()
+
+
+def test_seg_metrics_hand_case():
+    sys.path.insert(0, TOOLS)
+    from seg_metrics import mean_iu_acc
+
+    pred = np.zeros((1, 4, 4, 2), np.float32)
+    lab = np.zeros((1, 4, 4, 2), np.float32)
+    pred[0, :2, :2, 0] = 1.0   # 4 predicted px class 0
+    lab[0, :2, :3, 0] = 1.0    # 6 true px: TP=4, mism=2 -> IU0=4/6, Acc0=1
+    lab[0, 3, 3, 1] = 1.0      # class 1: TP=0 -> IU1=0, Acc1=0
+    iu, acc = mean_iu_acc(pred, lab, threshold=0.5)
+    np.testing.assert_allclose(iu, (4 / 6 + 0) / 2, rtol=1e-6)
+    np.testing.assert_allclose(acc, (1.0 + 0) / 2, rtol=1e-6)
+
+
+def test_bench_data_synthetic():
+    out = _run("bench_data.py", "-dataset", "cifar100-whitened",
+               "-batchSize", "8", "-iters", "3", "-workers", "2",
+               "-synthSize", "64", "-imageSize", "36", "-imageCrop", "32")
+    row = json.loads(out.strip().splitlines()[-1])
+    assert row["workers"] == 2 and row["images_per_sec"] > 0
