@@ -32,6 +32,20 @@ def main(argv=None):
                   f, indent=2, default=str)
     print(f"==> run dir: {opt.save}")
 
+    # persistent XLA compilation cache: R-MG compiles take minutes on
+    # TPU; restarts/resumes hit the cache instead (best-effort; shared
+    # across runs under the -cache root)
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.abspath(opt.cache), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from mgtpu.pipelines.standard import Session
 
     sess = Session(opt)
