@@ -92,12 +92,13 @@ def run(sess) -> None:
     print("==> doing epoch on testing data:")
     print("==> online epoch # 1")
 
-    def jobs():
+    def specs():
         for i in range(1, n_test + 1):
-            yield (lambda a=i: (a, loader.get_inputs(a, a, 1)))
+            yield ("get", "test", i, i, 1)
 
     with h5py.File(path, "w") as f:
-        for ind, (x, y) in sess.pool.imap(jobs()):
+        for ind, (x, y) in zip(range(1, n_test + 1),
+                               sess.pool.imap_specs(specs())):
             stack = x[0]  # (842, H, W, 1)
             outputs = np.asarray(fwd(sess.params, sess.stats, jnp.asarray(stack)))
             points = interest_point(outputs[0])

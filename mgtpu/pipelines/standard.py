@@ -60,7 +60,12 @@ class Session:
         self.meta = model_meta(opt)
 
         self.loaders = get_loaders(opt)
-        self.pool = DonkeyPool(opt.nDonkeys)
+        self.pool = DonkeyPool(
+            opt.nDonkeys,
+            mode=getattr(opt, "donkeyMode", "thread"),
+            opt=opt,
+            loaders=self.loaders,
+        )
         self.n_test = self.loaders["test"].size() if "test" in self.loaders else 0
         self.n_eval = self.loaders.get("eval", self.loaders.get("test"))
         self.epoch = opt.epochNumber
@@ -105,22 +110,10 @@ def train(sess: Session):
 
     seed0 = opt.manualSeed * 1_000_003 + sess.epoch * opt.epochSize * opt.iterSize
 
-    def make_job(it):
-        def job():
-            micro = []
-            for j in range(opt.iterSize):
-                x, y = sess.loaders["train"].gen_inputs(
-                    opt.batchSize, sess.epoch, seed0 + it * opt.iterSize + j
-                )
-                micro.append((x, y))
-            if opt.iterSize == 1:
-                return {"x": micro[0][0], "y": micro[0][1]}
-            return {
-                "x": np.stack([m[0] for m in micro]),
-                "y": np.stack([m[1] for m in micro]),
-            }
-
-        return job
+    def specs():
+        for it in range(opt.epochSize):
+            yield ("gen", "train", opt.batchSize, sess.epoch,
+                   seed0 + it * opt.iterSize, opt.iterSize)
 
     # tracing subsystem (SURVEY §5): -profile DIR captures iterations
     # 2..9 (1 is compile) of the FIRST epoch only with jax.profiler
@@ -132,7 +125,7 @@ def train(sess: Session):
     t_data = time.time()
     rng = jax.random.PRNGKey(seed0)
     with jax.set_mesh(sess.mesh):
-        for it, batch in enumerate(sess.pool.imap(make_job(i) for i in range(opt.epochSize))):
+        for it, batch in enumerate(sess.pool.imap_specs(specs())):
             data_t = time.time() - t_data
             if prof_dir and it == 1 and not prof_live:
                 jax.profiler.start_trace(prof_dir)
@@ -176,17 +169,18 @@ def _eval_loop(sess: Session, mode: str):
     `eval.lua:18-84`). test additionally dumps stored outputs to
     testOutput_<EPOCH>.h5 (`test.lua:63-89`)."""
     opt = sess.opt
-    loader = sess.loaders.get("test" if mode == "test" else "eval") or sess.loaders["test"]
+    split = "test" if mode == "test" or "eval" not in sess.loaders else "eval"
+    loader = sess.loaders[split]
     n_total = loader.size()
     step = sess.test_step if mode == "test" else sess.eval_step
     print(f"==> doing epoch on {mode} data:")
     print(f"==> online epoch # {sess.epoch}")
 
-    def jobs():
+    def specs():
         i = 1
         while i <= n_total:
             i2 = min(i + opt.batchSize - 1, n_total)
-            yield (lambda a=i, b=i2: loader.get_inputs(a, b, sess.epoch))
+            yield ("get", split, i, i2, sess.epoch)
             i = i2 + 1
 
     metrics_fn = jax.jit(
@@ -198,7 +192,7 @@ def _eval_loop(sess: Session, mode: str):
     stored: Dict[str, list] = {}
     t0 = time.time()
     with jax.set_mesh(sess.mesh):
-        for x, y in sess.pool.imap(jobs()):
+        for x, y in sess.pool.imap_specs(specs()):
             n = x.shape[0]
             pad = (-n) % sess.mesh.shape["data"]
             if pad:  # pad the ragged tail batch; metrics on the true slice

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")
     p.add_argument("-synthSize", type=int, default=2000, help="synthetic dataset size")
+    p.add_argument("-donkeyMode", default="thread", choices=["thread", "process"],
+                   help="donkey pool concurrency: threads share loaders "
+                        "under the GIL; processes rebuild loaders per "
+                        "worker (the reference's per-donkey-state model; "
+                        "use for decode-heavy datasets like ilsvrc)")
     p.add_argument("-profile", default="", metavar="DIR",
                    help="capture a jax profiler trace of train iterations "
                         "2..9 of the first epoch into DIR (view with "

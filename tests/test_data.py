@@ -180,3 +180,36 @@ def test_ilsvrc_folder_tree(tmp_path):
     assert x2.shape == (4, 32, 32, 3) and y2.tolist() == [0, 0, 0, 0]
     img = load_image(str(bad))
     assert img.shape == (40, 48, 3) and img.max() <= 1.0
+
+
+def test_donkey_pool_process_mode_determinism():
+    """Process donkeys rebuild loaders per worker (the reference's
+    per-donkey-state model) and must produce byte-identical batches to
+    the synchronous pool for the same job specs."""
+    import types
+
+    from mgtpu.data import get_loaders
+    from mgtpu.data.prefetch import DonkeyPool
+
+    opt = types.SimpleNamespace(
+        dataset="cifar100-whitened", data="synthetic", synthSize=64,
+        imageSize=36, imageCrop=32, colorspace="bgr", dataAug="default",
+        manualSeed=1, tenCrop=False, nEpochs=10,
+    )
+    loaders = get_loaders(opt)
+    specs = [("gen", "train", 4, 1, 100 + i, 1) for i in range(3)]
+    specs.append(("get", "test", 1, 3, 1))
+    sync = DonkeyPool(0, loaders=loaders)
+    ref = list(sync.imap_specs(specs))
+    pool = DonkeyPool(2, mode="process", opt=opt, loaders=loaders)
+    try:
+        got = list(pool.imap_specs(specs))
+    finally:
+        pool.shutdown()
+    for a, b in zip(ref, got):
+        if isinstance(a, dict):
+            np.testing.assert_array_equal(a["x"], b["x"])
+            np.testing.assert_array_equal(a["y"], b["y"])
+        else:
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("-batchSize", type=int, default=128)
     ap.add_argument("-iters", type=int, default=20)
     ap.add_argument("-workers", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument("-mode", default="thread", choices=["thread", "process"])
     ap.add_argument("-synthSize", type=int, default=4096)
     ap.add_argument("-imageSize", type=int, default=256)
     ap.add_argument("-imageCrop", type=int, default=224)
@@ -48,26 +49,29 @@ def main():
         colorspace="bgr", dataAug="default", manualSeed=1, tenCrop=False,
         nEpochs=10,
     )
-    loader = get_loaders(opt)["train"]
+    loaders = get_loaders(opt)
 
     for n_workers in args.workers:
-        pool = DonkeyPool(n_workers)
+        pool = DonkeyPool(n_workers, mode=args.mode, opt=opt, loaders=loaders)
 
-        def jobs():
+        def specs():
             for it in range(args.iters):
-                yield (lambda s=it: loader.gen_inputs(args.batchSize, 1, seed=s))
+                yield ("gen", "train", args.batchSize, 1, it, 1)
 
-        # warmup one batch (lazy imports, native lib build)
-        loader.gen_inputs(args.batchSize, 1, seed=999)
+        # warmup one batch per worker (lazy imports, loader build)
+        for _ in pool.imap_specs(("gen", "train", 4, 1, 999 + w, 1)
+                                 for w in range(max(n_workers, 1))):
+            pass
         t0 = time.perf_counter()
         n = 0
-        for x, y in pool.imap(jobs()):
-            n += x.shape[0]
+        for batch in pool.imap_specs(specs()):
+            n += batch["x"].shape[0]
         dt = time.perf_counter() - t0
         pool.shutdown()
         print(json.dumps({
             "dataset": args.dataset,
             "workers": n_workers,
+            "mode": args.mode,
             "images_per_sec": round(n / dt, 1),
             "native": native.available(),
         }))
