@@ -14,6 +14,7 @@ model is just a declarative plan of blocks whose widths chain.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -22,6 +23,11 @@ import jax.numpy as jnp
 
 from mgtpu.nn import ConvBN, UpConvBN, Dropout, Conv, BatchNorm, _as_rngs
 from mgtpu.ops.resample import avgpool, maxpool, maxpool2_ceil, upsample_nearest2
+
+# MGTPU_NO_FUSED_EXCHANGE=1 forces the materialized resample-concat
+# formulation everywhere — used by tools/model_info.py to count the
+# reference-formulation MACs, and handy for numerics bisection
+_NO_FUSE = bool(os.environ.get("MGTPU_NO_FUSED_EXCHANGE"))
 
 Pyramid = tuple
 
@@ -189,6 +195,8 @@ class MgConv:
     dtype: Optional[object] = None
 
     def __post_init__(self):
+        if _NO_FUSE:
+            self.fuse_exchange = False
         n = len(self.in_widths)
         assert len(self.out_widths_) == n
         ks = self.kernels if self.kernels is not None else [3] * n
@@ -305,6 +313,8 @@ class MgResidual:
     dtype: Optional[object] = None
 
     def __post_init__(self):
+        if _NO_FUSE:
+            self.fuse_exchange = False
         n = len(self.in_widths)
         assert len(self.out_widths_) == n
         ks = self.kernels if self.kernels is not None else [3] * n

@@ -125,3 +125,18 @@ def test_bench_data_synthetic():
                "-synthSize", "64", "-imageSize", "36", "-imageCrop", "32")
     row = json.loads(out.strip().splitlines()[-1])
     assert row["workers"] == 2 and row["images_per_sec"] > 0
+
+
+def test_model_info_rmg34_matches_published_counts():
+    """R-MG-34 params/MACs from jaxpr analysis must match the reference
+    README's published 32.9M / 5.76G (`README.md:109`)."""
+    env = dict(os.environ, MGTPU_NO_FUSED_EXCHANGE="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "model_info.py"),
+         "-netType", "ilsvrc/rnmg", "-depth", "34", "-imageCrop", "224"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["params"] == 32_899_176
+    assert row["macs_per_image"] == 5_760_277_760
