@@ -213,3 +213,24 @@ def test_donkey_pool_process_mode_determinism():
         else:
             np.testing.assert_array_equal(a[0], b[0])
             np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_colorspace_dataaug_matrix():
+    """Every -colorspace x -dataAug combination produces correctly
+    shaped batches (gray -> 1 channel; `donkey.lua:96-115`, `:27-45`;
+    both 'rotate' and the reference's documented-but-broken 'rotation'
+    spelling are accepted, SURVEY §2.8)."""
+    import types
+
+    from mgtpu.data import get_loaders
+
+    for cs in ("gray", "rgb", "bgr"):
+        for aug in ("default", "affine", "rotate", "rotation"):
+            opt = types.SimpleNamespace(
+                dataset="cifar100-whitened", data="synthetic", synthSize=16,
+                imageSize=36, imageCrop=32, colorspace=cs, dataAug=aug,
+                manualSeed=1, tenCrop=False, nEpochs=10,
+            )
+            x, y = get_loaders(opt)["train"].gen_inputs(4, 1, seed=3)
+            c = 1 if cs == "gray" else 3
+            assert x.shape == (4, 32, 32, c), (cs, aug, x.shape)
