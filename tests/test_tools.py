@@ -140,3 +140,39 @@ def test_model_info_rmg34_matches_published_counts():
     row = json.loads(r.stdout.strip().splitlines()[-1])
     assert row["params"] == 32_899_176
     assert row["macs_per_image"] == 5_760_277_760
+
+
+def test_export_serve_roundtrip(tmp_path):
+    """StableHLO export -> deserialize -> call must reproduce the live
+    model's forward exactly (tools/export_model.py + serve_exported.py)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    art = tmp_path / "mg6.shlo"
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "export_model.py"),
+         "-netType", "cifar/nmg", "-nLayer", "1", "-batch", "2",
+         "-imageCrop", "32", "-dtype", "float32",
+         "-platforms", "cpu", "-out", str(art)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert art.stat().st_size > 1_000_000  # weights baked in
+
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from mgtpu.models import get_net
+
+    with open(art, "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(exp.call(jnp.asarray(x)))
+
+    net = get_net("cifar/nmg")
+    model = net.create_model(types.SimpleNamespace(nLayer=1, nEpochs=200,
+                                                   shortcutType="A"))
+    params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
+    ref = np.asarray(model.apply(params, stats, jnp.asarray(x), train=False)[0])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
