@@ -74,8 +74,13 @@ class Session:
             make_train_step(self.model, self.loss_fn, self.net,
                             iter_size=opt.iterSize, momentum=opt.momentum)
         )
-        self.test_step = jax.jit(make_eval_step(self.model, self.loss_fn, self.net, "test"))
-        self.eval_step = jax.jit(make_eval_step(self.model, self.loss_fn, self.net, "eval"))
+        from mgtpu.train.step import make_tencrop_eval_step
+
+        mk_eval = (
+            make_tencrop_eval_step if getattr(opt, "tenCrop", False) else make_eval_step
+        )
+        self.test_step = jax.jit(mk_eval(self.model, self.loss_fn, self.net, "test"))
+        self.eval_step = jax.jit(mk_eval(self.model, self.loss_fn, self.net, "eval"))
         self._shard = lambda tree, axis=0: shard_batch(self.mesh, tree, axis)
         self._loggers: Dict[str, EpochLogger] = {}
 

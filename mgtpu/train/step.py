@@ -74,3 +74,27 @@ def make_eval_step(model, loss_fn, net, mode: str = "test"):
         return metrics_fn(out, batch["y"], loss), out
 
     return eval_step
+
+
+def make_tencrop_eval_step(model, loss_fn, net, mode: str = "test"):
+    """10-crop evaluation: batch x is (N, 10, H, W, C); forward all
+    crops, average the class PROBABILITIES across crops (fb.resnet
+    convention behind the reference's 10-crop ImageNet numbers,
+    `README.md:105-109`; the loader path is `dataset/ilsvrc/
+    donkey.lua:102-112`), and compute loss/metrics on the log of the
+    crop-mean distribution."""
+
+    metrics_fn = net.test_metrics if mode == "test" else net.eval_metrics
+
+    def eval_step(params, stats, batch):
+        x, y = batch["x"], batch["y"]
+        n, k = x.shape[0], x.shape[1]
+        out, _ = model.apply(
+            params, stats, x.reshape((n * k,) + x.shape[2:]), train=False
+        )
+        probs = jnp.exp(out.astype(jnp.float32)).reshape(n, k, -1).mean(axis=1)
+        log_mean = jnp.log(jnp.maximum(probs, 1e-30))
+        loss = loss_fn(log_mean, y)
+        return metrics_fn(log_mean, y, loss), log_mean
+
+    return eval_step

@@ -134,3 +134,30 @@ def test_eval_step():
     m, out = estep(params, stats, {"x": x, "y": y})
     assert out.shape == (4, 100)
     assert 0.0 <= float(m["top1"]) <= 1.0
+
+
+def test_tencrop_eval_step():
+    """10-crop eval averages crop probabilities: feeding 10 IDENTICAL
+    crops must reproduce the single-crop metrics exactly, and mixed
+    crops must equal the manual prob-mean."""
+    net, model, params, stats, loss_fn, _ = _setup()
+    from mgtpu.train.step import make_tencrop_eval_step
+
+    estep = jax.jit(make_eval_step(model, loss_fn, net))
+    tstep = jax.jit(make_tencrop_eval_step(model, loss_fn, net))
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 32, 32, 3))
+    y = jnp.arange(3, dtype=jnp.int32)
+    m1, out1 = estep(params, stats, {"x": x, "y": y})
+    xr = jnp.broadcast_to(x[:, None], (3, 10, 32, 32, 3))
+    m10, out10 = tstep(params, stats, {"x": xr, "y": y})
+    np.testing.assert_allclose(float(m1["top1"]), float(m10["top1"]))
+    np.testing.assert_allclose(np.asarray(out10), np.asarray(out1),
+                               rtol=1e-4, atol=1e-5)
+    # genuinely different crops -> mean of probs
+    crops = jax.random.normal(jax.random.PRNGKey(3), (2, 10, 32, 32, 3))
+    _, outm = tstep(params, stats, {"x": crops, "y": y[:2]})
+    flat, _ = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False))(
+        params, stats, crops.reshape(20, 32, 32, 3))
+    ref = jnp.log(jnp.exp(flat).reshape(2, 10, -1).mean(axis=1))
+    np.testing.assert_allclose(np.asarray(outm), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
