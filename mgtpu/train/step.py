@@ -92,8 +92,10 @@ def make_tencrop_eval_step(model, loss_fn, net, mode: str = "test"):
         out, _ = model.apply(
             params, stats, x.reshape((n * k,) + x.shape[2:]), train=False
         )
-        probs = jnp.exp(out.astype(jnp.float32)).reshape(n, k, -1).mean(axis=1)
-        log_mean = jnp.log(jnp.maximum(probs, 1e-30))
+        # log(mean_k exp(out)) via logsumexp — exp() alone underflows
+        # for confident log-probs
+        out = out.astype(jnp.float32).reshape(n, k, -1)
+        log_mean = jax.nn.logsumexp(out, axis=1) - jnp.log(float(k))
         loss = loss_fn(log_mean, y)
         return metrics_fn(log_mean, y, loss), log_mean
 

@@ -1,0 +1,84 @@
+"""Checkpoint/resume tests — the rebuild's replacement for
+`saveDataParallel`/`loadDataParallel` (`multigpu.lua:105-160`), with
+the documented upgrade that optimizer momentum persists (the reference
+rebuilt optimState each epoch, SURVEY §5)."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgtpu.models import get_net
+from mgtpu.train.optim import sgd_init
+from mgtpu.train.step import make_train_step
+from mgtpu.utils.checkpoint import load_checkpoint, model_meta, save_checkpoint
+
+
+def _trained_state(steps=2):
+    opt = types.SimpleNamespace(dataset="cifar100-whitened", nEpochs=200, nLayer=1)
+    net = get_net("cifar/nmg")
+    model = net.create_model(opt)
+    params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, net.create_loss(opt), net, iter_size=1))
+    opt_state = sgd_init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    y = jnp.arange(4, dtype=jnp.int32)
+    for i in range(steps):
+        params, stats, opt_state, _ = step(
+            params, stats, opt_state, {"x": x, "y": y}, 0.1, 5e-4,
+            jax.random.PRNGKey(i),
+        )
+    return opt, net, model, params, stats, opt_state, step, (x, y)
+
+
+def test_checkpoint_roundtrip_bitexact(tmp_path):
+    opt, net, model, params, stats, opt_state, step, _ = _trained_state()
+    path = str(tmp_path / "model_3.ckpt")
+    save_checkpoint(path, params, stats, opt_state, epoch=3, meta=model_meta(
+        types.SimpleNamespace(netType="cifar/nmg", nLayer=1, dataset="cifar100-whitened")))
+    ckpt = load_checkpoint(path)
+    assert ckpt["epoch"] == 3
+    assert ckpt["meta"]["netType"] == "cifar/nmg"
+    assert ckpt["meta"]["nLayer"] == 1
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ckpt["params"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(ckpt["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_resume_continues_identically(tmp_path):
+    """Training K steps straight == training K-2 steps, checkpointing,
+    reloading, and training 2 more — INCLUDING momentum (the upgrade
+    over the reference's per-epoch optimState reset)."""
+    opt, net, model, params, stats, opt_state, step, (x, y) = _trained_state(steps=2)
+    path = str(tmp_path / "model.ckpt")
+    save_checkpoint(path, params, stats, opt_state, epoch=1, meta={})
+
+    def advance(p, s, o, n0):
+        for i in range(2):
+            p, s, o, _ = step(p, s, o, {"x": x, "y": y}, 0.1, 5e-4,
+                              jax.random.PRNGKey(n0 + i))
+        return p
+
+    straight = advance(params, stats, opt_state, 10)
+    ckpt = load_checkpoint(path)
+    resumed = advance(
+        jax.tree.map(jnp.asarray, ckpt["params"]),
+        jax.tree.map(jnp.asarray, ckpt["stats"]),
+        jax.tree.map(jnp.asarray, ckpt["opt_state"]),
+        10,
+    )
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_atomic_write(tmp_path):
+    """save_checkpoint writes via tmp+rename; no .tmp file remains."""
+    opt, net, model, params, stats, opt_state, _, _ = _trained_state(steps=0)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, params, stats, opt_state)
+    import os
+
+    assert os.path.exists(path) and not os.path.exists(path + ".tmp")

@@ -158,6 +158,6 @@ def test_tencrop_eval_step():
     _, outm = tstep(params, stats, {"x": crops, "y": y[:2]})
     flat, _ = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False))(
         params, stats, crops.reshape(20, 32, 32, 3))
-    ref = jnp.log(jnp.exp(flat).reshape(2, 10, -1).mean(axis=1))
+    ref = jax.nn.logsumexp(flat.reshape(2, 10, -1), axis=1) - jnp.log(10.0)
     np.testing.assert_allclose(np.asarray(outm), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
