@@ -48,14 +48,14 @@ def _load_npz_pair(path, train_keys, test_keys):
     return tr, te
 
 
-def _load_cifar_python(root: str, name: str):
-    """Read the standard public pickle layout if present."""
+def load_cifar_python(root: str, name: str):
+    """Read the standard public pickle layout (cifar-10-batches-py /
+    cifar-100-python). The single implementation shared by the runtime
+    loader and tools/ingest_cifar.py. Raises on a missing tree."""
     import pickle
 
     if name == "cifar10":
         d = os.path.join(root, "cifar-10-batches-py")
-        if not os.path.isdir(d):
-            return None
         xs, ys = [], []
         for i in range(1, 6):
             with open(os.path.join(d, f"data_batch_{i}"), "rb") as f:
@@ -68,18 +68,22 @@ def _load_cifar_python(root: str, name: str):
             (np.concatenate(xs), np.asarray(ys, np.int32)),
             (b["data"], np.asarray(b["labels"], np.int32)),
         )
-    else:
-        d = os.path.join(root, "cifar-100-python")
-        if not os.path.isdir(d):
-            return None
-        import pickle
+    d = os.path.join(root, "cifar-100-python")
 
-        def rd(split):
-            with open(os.path.join(d, split), "rb") as f:
-                b = pickle.load(f, encoding="latin1")
-            return np.asarray(b["data"]), np.asarray(b["fine_labels"], np.int32)
+    def rd(split):
+        with open(os.path.join(d, split), "rb") as f:
+            b = pickle.load(f, encoding="latin1")
+        return np.asarray(b["data"]), np.asarray(b["fine_labels"], np.int32)
 
-        return rd("train"), rd("test")
+    return rd("train"), rd("test")
+
+
+def _load_cifar_python(root: str, name: str):
+    """load_cifar_python, or None when the pickle tree is absent."""
+    sub = "cifar-10-batches-py" if name == "cifar10" else "cifar-100-python"
+    if not os.path.isdir(os.path.join(root, sub)):
+        return None
+    return load_cifar_python(root, name)
 
 
 def _resolve_cifar_source(opt, name: str, whitened: bool):

@@ -166,11 +166,17 @@ class ClutterGenerator:
                 sprite, cls = self._next_digit()
                 if cfg.angle != 0:
                     sprite = rotate_sprite(sprite, cfg.angle, rng)
-                while True:
+                for attempt in range(20):
                     rs = normalize_sprite(rescale_sprite(sprite, cfg.scale, rng))
                     y, x = sample_position("overlap_constraint", obs, rs, cfg.border, rng)
                     if y is not None:
                         break
+                else:
+                    # saturated canvas: give up on the overlap constraint
+                    # like the reference's bounded retries (`utils/
+                    # position.lua:overlap_constraint` stops at 10 tries)
+                    # instead of looping forever
+                    y, x = sample_position("uniform", obs, rs, cfg.border, rng)
                 _place(obs, rs, y, x)
                 _place(target[:, :, cls], rs, y, x)
             target = (target >= cfg.threshold).astype(np.float32)
@@ -186,11 +192,16 @@ class ClutterGenerator:
                     sprite = rotate_sprite(sprite, cfg.angle, rng)
                 if cfg.affine_angle != 0:
                     sprite = affine_sprite(sprite, cfg.affine_angle, rng)
-                while True:
+                for attempt in range(20):
                     rs = normalize_sprite(rescale_sprite(sprite, cfg.scale, rng))
                     y, x = sample_position(method, obs, rs, cfg.border, rng)
                     if y is not None:
                         break
+                else:
+                    raise ValueError(
+                        f"sprite cannot be placed on a {w}px canvas with "
+                        f"border {cfg.border} and scale {cfg.scale}"
+                    )
                 _place(obs, rs, y, x)
                 gy, gx = sample_position("center", target, ground_truth, cfg.border, rng)
                 _place(target, ground_truth, gy, gx)

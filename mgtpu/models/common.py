@@ -272,34 +272,5 @@ def build_pyramid_prefix(
     return layers
 
 
-def count_flops_conv(model, input_shape) -> int:
-    """Analytic multiply-add FLOP count (2*MACs) of conv/dense layers by
-    tracing shapes — used for parity with the reference README tables."""
-    import numpy as np
-    from mgtpu.nn import Conv, ConvTranspose, Dense as _Dense
-
-    flops = [0]
-
-    def conv_flops(prim, *args, **kw):
-        pass
-
-    # simplest robust approach: run jax.make_jaxpr and count conv/dot ops
-    import jax as _jax
-
-    params, stats = model.init(_jax.random.PRNGKey(0))
-    x = jnp.zeros(input_shape, jnp.float32)
-    jaxpr = _jax.make_jaxpr(lambda p, s, x: model.apply(p, s, x, train=False))(
-        params, stats, x
-    )
-    total = 0
-    for eqn in jaxpr.jaxpr.eqns:
-        if eqn.primitive.name == "conv_general_dilated":
-            out = eqn.outvars[0].aval.shape
-            w = eqn.invars[1].aval.shape  # HWIO
-            macs = int(np.prod(out)) * w[0] * w[1] * w[2]
-            total += 2 * macs
-        elif eqn.primitive.name == "dot_general":
-            a = eqn.invars[0].aval.shape
-            b = eqn.invars[1].aval.shape
-            total += 2 * int(np.prod(a)) * b[-1]
-    return total
+# (MAC/param counting lives in tools/model_info.py, which walks the
+# jaxpr with dimension-number awareness and sub-jaxpr recursion.)

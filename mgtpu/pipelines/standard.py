@@ -40,7 +40,17 @@ class Session:
         self.loss_fn = self.net.create_loss(opt)
 
         n_data = opt.nGPU if opt.nGPU > 0 else jax.device_count()
-        self.mesh = make_mesh(n_data=min(n_data, jax.device_count()))
+        n_data = min(n_data, jax.device_count())
+        # the reference's DataParallelTable scattered uneven chunks
+        # (`scripts/cifar/rnmg.sh` runs batch 64 on 3 GPUs); XLA
+        # shardings need the batch to divide, so clamp to the largest
+        # divisor of batchSize
+        while opt.batchSize % n_data:
+            n_data -= 1
+        if n_data != min(opt.nGPU if opt.nGPU > 0 else n_data, jax.device_count()):
+            print(f"==> nGPU clamped to {n_data} (batchSize {opt.batchSize} "
+                  f"must divide across the data mesh)")
+        self.mesh = make_mesh(n_data=n_data)
 
         key = jax.random.PRNGKey(opt.manualSeed)
         start = self.net.initial_state(opt, self.model) if hasattr(self.net, "initial_state") else None
@@ -66,8 +76,6 @@ class Session:
             opt=opt,
             loaders=self.loaders,
         )
-        self.n_test = self.loaders["test"].size() if "test" in self.loaders else 0
-        self.n_eval = self.loaders.get("eval", self.loaders.get("test"))
         self.epoch = opt.epochNumber
 
         self.train_step = jax.jit(
@@ -81,6 +89,14 @@ class Session:
         )
         self.test_step = jax.jit(mk_eval(self.model, self.loss_fn, self.net, "test"))
         self.eval_step = jax.jit(mk_eval(self.model, self.loss_fn, self.net, "eval"))
+        # padded-tail metric recomputation, jitted ONCE per session (a
+        # per-epoch lambda would recompile every test() call)
+        self.test_metrics_fn = jax.jit(
+            lambda out, y: self.net.test_metrics(out, y, self.loss_fn(out, y))
+        )
+        self.eval_metrics_fn = jax.jit(
+            lambda out, y: self.net.eval_metrics(out, y, self.loss_fn(out, y))
+        )
         self._shard = lambda tree, axis=0: shard_batch(self.mesh, tree, axis)
         self._loggers: Dict[str, EpochLogger] = {}
 
@@ -188,11 +204,7 @@ def _eval_loop(sess: Session, mode: str):
             yield ("get", split, i, i2, sess.epoch)
             i = i2 + 1
 
-    metrics_fn = jax.jit(
-        lambda out, y: (sess.net.test_metrics if mode == "test" else sess.net.eval_metrics)(
-            out, y, sess.loss_fn(out, y)
-        )
-    )
+    metrics_fn = sess.test_metrics_fn if mode == "test" else sess.eval_metrics_fn
     acc: Dict[str, tuple] = {}
     stored: Dict[str, list] = {}
     t0 = time.time()

@@ -106,7 +106,9 @@ def parse(argv: Optional[Sequence[str]] = None):
         if v != defaults.get(k) and "/" not in str(v):
             parts.append(f"{k}={v}")
     flag_str = ",".join(parts) if parts else "default"
-    stamp = time.strftime("%a%b%d%H:%M:%S%Y").replace(" ", "")
+    # dots instead of the reference's ':' (opts.lua:87 os.date) — ':'
+    # in paths breaks NTFS clones and scp
+    stamp = time.strftime("%a%b%d%H.%M.%S%Y").replace(" ", "")
     opt.save = os.path.join(opt.cache, opt.dataset, opt.netType.replace("/", "_"),
                             flag_str, stamp)
     return opt

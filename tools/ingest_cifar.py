@@ -19,31 +19,13 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
+import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def load_cifar(root: str, name: str):
-    if name == "cifar10":
-        d = os.path.join(root, "cifar-10-batches-py")
-        xs, ys = [], []
-        for i in range(1, 6):
-            with open(os.path.join(d, f"data_batch_{i}"), "rb") as f:
-                b = pickle.load(f, encoding="latin1")
-            xs.append(b["data"])
-            ys.extend(b["labels"])
-        with open(os.path.join(d, "test_batch"), "rb") as f:
-            b = pickle.load(f, encoding="latin1")
-        return (np.concatenate(xs), np.asarray(ys)), (b["data"], np.asarray(b["labels"]))
-    d = os.path.join(root, "cifar-100-python")
-
-    def rd(split):
-        with open(os.path.join(d, split), "rb") as f:
-            b = pickle.load(f, encoding="latin1")
-        return np.asarray(b["data"]), np.asarray(b["fine_labels"])
-
-    return rd("train"), rd("test")
+from mgtpu.data.cifar import load_cifar_python as load_cifar  # noqa: E402
 
 
 def gcn(x: np.ndarray, eps: float = 1e-8) -> np.ndarray:
