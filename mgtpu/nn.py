@@ -313,8 +313,14 @@ class ConvBN:
           k=1: conv1x1 at coarse res, then upsample the RESULT (4x
                fewer MACs).
 
-        Numerically exact up to float summation order. Falls back to
-        materializing when train-mode dropout needs a fine-res mask."""
+        Numerically exact up to float summation order — EXCEPT under
+        train-mode "before"-position dropout, where this path draws one
+        mask per part while the materialized path draws one mask over
+        the concat: the masks are iid Bernoulli either way
+        (distributionally identical) but the PRNG streams differ, so
+        fused/unfused training trajectories diverge stochastically.
+        The "up" part is materialized first in that case so its mask is
+        at fine resolution."""
         rng = _as_rngs(rng)
         from mgtpu.ops.mg import materialize_part  # cycle-free at call time
         from mgtpu.ops.resample import upsample_nearest2

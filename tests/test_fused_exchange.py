@@ -1,5 +1,11 @@
 """The fused-exchange (split-weight) path must match the reference
-formulation (materialized resample-concat) numerically."""
+formulation (materialized resample-concat) numerically.
+
+Scope: equivalence holds with dropout off (or in eval mode). With
+train-mode dropout the two paths consume the PRNG differently (one
+mask per part vs one mask over the concat) — distributionally
+identical, trajectories stochastically different; see
+ConvBN.apply_parts."""
 
 import dataclasses
 
