@@ -95,6 +95,19 @@ def _split_keys(key, n):
     return jax.random.split(key, n) if n > 0 else []
 
 
+def _init_layers(layers, key):
+    """Init a list of per-scale layers (None = identity) into
+    params/stats dicts keyed '0','1',... — the shared pattern of every
+    multi-scale op below."""
+    params, stats = {}, {}
+    for i, (layer, k) in enumerate(zip(layers, _split_keys(key, len(layers)))):
+        if layer is None:
+            params[str(i)], stats[str(i)] = {}, {}
+        else:
+            params[str(i)], stats[str(i)] = layer.init(k)
+    return params, stats
+
+
 @dataclass
 class MgConvInput:
     """Input pyramid stem: scale i = avgpool(2^i) of the image followed
@@ -125,10 +138,7 @@ class MgConvInput:
         self.out_widths = list(self.widths)
 
     def init(self, key):
-        params, stats = {}, {}
-        for i, (c, k) in enumerate(zip(self.convs, _split_keys(key, len(self.convs)))):
-            params[str(i)], stats[str(i)] = c.init(k)
-        return params, stats
+        return _init_layers(self.convs, key)
 
     def apply(self, p, s, x, *, train=False, rng=None):
         rng = _as_rngs(rng)
@@ -163,10 +173,7 @@ class MgStem7x7:
         self.out_widths = list(self.widths)
 
     def init(self, key):
-        params, stats = {}, {}
-        for i, (c, k) in enumerate(zip(self.convs, _split_keys(key, len(self.convs)))):
-            params[str(i)], stats[str(i)] = c.init(k)
-        return params, stats
+        return _init_layers(self.convs, key)
 
     def apply(self, p, s, x, *, train=False, rng=None):
         out, new_s = [], {}
@@ -217,10 +224,7 @@ class MgConv:
         self.out_widths = list(self.out_widths_)
 
     def init(self, key):
-        params, stats = {}, {}
-        for i, (c, k) in enumerate(zip(self.convs, _split_keys(key, len(self.convs)))):
-            params[str(i)], stats[str(i)] = c.init(k)
-        return params, stats
+        return _init_layers(self.convs, key)
 
     def apply(self, p, s, pyr, *, train=False, rng=None):
         rng = _as_rngs(rng)
@@ -342,19 +346,14 @@ class MgResidual:
         self.out_widths = list(self.out_widths_)
 
     def init(self, key):
-        params, stats = {}, {}
         k1, k2, k3 = jax.random.split(key, 3)
+        params, stats = {}, {}
         for name, layers, kk in (
             ("s1", self.stage1, k1),
             ("s2", self.stage2, k2),
             ("sc", self.shortcuts, k3),
         ):
-            params[name], stats[name] = {}, {}
-            for i, (layer, k) in enumerate(zip(layers, _split_keys(kk, len(layers)))):
-                if layer is None:
-                    params[name][str(i)], stats[name][str(i)] = {}, {}
-                else:
-                    params[name][str(i)], stats[name][str(i)] = layer.init(k)
+            params[name], stats[name] = _init_layers(layers, kk)
         return params, stats
 
     def _stage(self, name, layers, p, s, pyr, train, rng):
@@ -465,10 +464,7 @@ class MgUpConv:
         self.out_widths = list(self.out_widths_)
 
     def init(self, key):
-        params, stats = {}, {}
-        for i, (u, k) in enumerate(zip(self.ups, _split_keys(key, len(self.ups)))):
-            params[str(i)], stats[str(i)] = u.init(k)
-        return params, stats
+        return _init_layers(self.ups, key)
 
     def apply(self, p, s, pyr, *, train=False, rng=None):
         out, new_s = [], {}
@@ -486,13 +482,7 @@ class PerScale:
     layers: list
 
     def init(self, key):
-        params, stats = {}, {}
-        for i, (layer, k) in enumerate(zip(self.layers, _split_keys(key, len(self.layers)))):
-            if layer is None:
-                params[str(i)], stats[str(i)] = {}, {}
-            else:
-                params[str(i)], stats[str(i)] = layer.init(k)
-        return params, stats
+        return _init_layers(self.layers, key)
 
     def apply(self, p, s, pyr, *, train=False, rng=None):
         rng = _as_rngs(rng)
