@@ -80,7 +80,8 @@ class Session:
 
         self.train_step = jax.jit(
             make_train_step(self.model, self.loss_fn, self.net,
-                            iter_size=opt.iterSize, momentum=opt.momentum)
+                            iter_size=opt.iterSize, momentum=opt.momentum,
+                            remat=getattr(opt, "remat", False))
         )
         from mgtpu.train.step import make_tencrop_eval_step
 

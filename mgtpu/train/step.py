@@ -20,12 +20,15 @@ import jax
 import jax.numpy as jnp
 
 
-def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0.9):
+def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0.9,
+                    remat: bool = False):
     """Returns train_step(params, stats, opt_state, batch, lr, wd, rng)
     -> (params, stats, opt_state, metrics).
 
     batch = {"x": ..., "y": ...}; with iter_size > 1 the leading axis of
-    each entry is (iter_size, batch, ...).
+    each entry is (iter_size, batch, ...). ``remat`` rematerializes the
+    forward during the backward pass (jax.checkpoint) — slower but fits
+    larger per-chip batches in HBM.
     """
     from mgtpu.train.optim import sgd_update
 
@@ -34,6 +37,9 @@ def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0
         loss = loss_fn(out, y)
         metrics = net.train_metrics(out, y, loss)
         return loss, (new_stats, metrics)
+
+    if remat:
+        loss_and_metrics = jax.checkpoint(loss_and_metrics)
 
     grad_fn = jax.grad(loss_and_metrics, has_aux=True)
 

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")
     p.add_argument("-synthSize", type=int, default=2000, help="synthetic dataset size")
+    p.add_argument("-remat", action="store_true",
+                   help="rematerialize activations in the backward pass "
+                        "(jax.checkpoint): slower, fits larger batches")
     p.add_argument("-donkeyMode", default="thread", choices=["thread", "process"],
                    help="donkey pool concurrency: threads share loaders "
                         "under the GIL; processes rebuild loaders per "

@@ -161,3 +161,19 @@ def test_tencrop_eval_step():
     ref = jax.nn.logsumexp(flat.reshape(2, 10, -1), axis=1) - jnp.log(10.0)
     np.testing.assert_allclose(np.asarray(outm), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remat_train_step_matches():
+    """-remat changes memory behavior, not numerics: one update with
+    jax.checkpoint must equal the plain step bit-for-bit."""
+    net, model, params, stats, loss_fn, _ = _setup()
+    sa = jax.jit(make_train_step(model, loss_fn, net))
+    sb = jax.jit(make_train_step(model, loss_fn, net, remat=True))
+    opt_state = sgd_init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    y = jnp.arange(4, dtype=jnp.int32)
+    pa, _, _, ma = sa(params, stats, opt_state, {"x": x, "y": y}, 0.1, 5e-4, jax.random.PRNGKey(0))
+    pb, _, _, mb = sb(params, stats, opt_state, {"x": x, "y": y}, 0.1, 5e-4, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
