@@ -77,3 +77,52 @@ def test_registry_complete():
         "mnist-cluttered/mnist-test", "mnist-cluttered/mnist-saliency",
     }
     assert expected <= set(list_models())
+
+
+TRAIN_CASES = [
+    # models not already train-stepped elsewhere (nmg: convergence/DP
+    # tests; rnmg: dryrun + TPU runs)
+    ("cifar/pnmg", {**CIFAR_OPT, "isDropout": True}, (4, 32, 32, 3), 100),
+    ("cifar/prnmg", {**CIFAR_OPT, "isDropout": True}, (4, 32, 32, 3), 100),
+    ("cifar/resnet", CIFAR_OPT, (4, 32, 32, 3), 100),
+    ("cifar/vgg", CIFAR_OPT, (4, 32, 32, 3), 100),
+    ("mnist-cluttered/unet", MNIST_OPT, (2, 64, 64, 1), None),
+    ("mnist-cluttered/unmg", MNIST_OPT, (2, 64, 64, 1), None),
+    ("mnist-cluttered/pnmg.mnist", MNIST_OPT, (2, 64, 64, 1), None),
+    ("mnist-cluttered/prnmg.mnist", {**MNIST_OPT, "dataset": "mnist-spt"},
+     (2, 64, 64, 1), None),
+    # prnmgseg's head avg-pools 7x7 on grid 4 (= input/32): needs 224px
+    ("ilsvrc/prnmgseg", {"dataset": "ilsvrc", "nEpochs": 90, "depth": 30,
+                         "shortcutType": "B"}, (1, 224, 224, 3), 1000),
+]
+
+
+@pytest.mark.parametrize("name,o,in_shape,n_classes", TRAIN_CASES)
+def test_model_train_step(name, o, in_shape, n_classes):
+    """Every zoo model must take a gradient step (finite loss, params
+    change) — forward-only shape tests miss backward/dropout/shortcut
+    bugs."""
+    from mgtpu.train.optim import sgd_init
+    from mgtpu.train.step import make_train_step
+
+    opt = types.SimpleNamespace(**o)
+    net = get_net(name)
+    model = net.create_model(opt)
+    params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, net.create_loss(opt), net))
+    x = jax.random.normal(jax.random.PRNGKey(1), in_shape)
+    if n_classes is None:  # dense targets (BCE heads)
+        out, _ = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False))(
+            params, stats, x)
+        y = (jax.random.uniform(jax.random.PRNGKey(2), out.shape) > 0.5
+             ).astype(jnp.float32)
+    else:
+        y = (jnp.arange(in_shape[0]) % n_classes).astype(jnp.int32)
+    p2, s2, o2, m = step(params, stats, sgd_init(params),
+                         {"x": x, "y": y}, 0.05, 5e-4, jax.random.PRNGKey(3))
+    import numpy as np
+
+    assert np.isfinite(float(m["loss"]))
+    a0 = np.asarray(jax.tree.leaves(params)[0])
+    a1 = np.asarray(jax.tree.leaves(p2)[0])
+    assert not np.array_equal(a0, a1), "params did not change"
