@@ -1,0 +1,85 @@
+"""End-to-end CLI integration: the checkpoint-harness chain the
+reference used for its published segmentation metrics —
+train unmg -> reload through the mnist-test harness model (-retrain)
+-> testOutput h5 dump -> offline seg_metrics. Locks the h5 layout, the
+harness reload path (`models/mnist-cluttered/mnist-test.lua` +
+`model.lua:28-31`), and the notebook-turned-CLI metric chain."""
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _main(*args, timeout=560):
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "mgtpu.main", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    return r.stdout
+
+
+@pytest.mark.slow
+def test_seg_harness_chain(tmp_path):
+    common = [
+        "-dataset", "mnist-seg", "-data", "synthetic", "-synthSize", "32",
+        "-batchSize", "8", "-nGPU", "1", "-nDonkeys", "0",
+        "-cache", str(tmp_path),
+    ]
+    # 1) short unmg training run with a checkpoint
+    out = _main("-netType", "mnist-cluttered/unmg", *common,
+                "-nEpochs", "1", "-epochSize", "2", "-train", "-test")
+    ckpts = glob.glob(str(tmp_path / "**" / "model_1.ckpt"), recursive=True)
+    assert len(ckpts) == 1
+    m = re.search(r"avg\.loss:([0-9.]+).*avg\.meanIU:([0-9.]+)", out)
+    assert m, out[-800:]
+    train_loss, train_iu = float(m.group(1)), float(m.group(2))
+
+    # 2) offline harness: -retrain reloads the checkpoint with zero
+    #    architecture code and must reproduce the SAME test metrics
+    out2 = _main("-netType", "mnist-cluttered/mnist-test", *common,
+                 "-nEpochs", "1", "-retrain", ckpts[0], "-test")
+    m2 = re.search(r"avg\.loss:([0-9.]+).*avg\.meanIU:([0-9.]+)", out2)
+    assert m2, out2[-800:]
+    np.testing.assert_allclose(float(m2.group(1)), train_loss, rtol=1e-4)
+    np.testing.assert_allclose(float(m2.group(2)), train_iu, rtol=1e-4)
+
+    # 3) the harness stores predictions; seg_metrics consumes the dump
+    h5s = glob.glob(str(tmp_path / "**" / "testOutput_1.h5"), recursive=True)
+    assert h5s, "harness run must dump stored predictions"
+    import h5py
+
+    with h5py.File(sorted(h5s)[-1], "r") as f:
+        assert "prediction" in f
+        pred = np.asarray(f["prediction"])
+    assert pred.shape[0] == 8  # synthSize 32 // 4 test samples
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from seg_metrics import mean_iu_acc
+
+    # synthetic targets: rebuild the loader the same way the run did
+    import types
+
+    from mgtpu.data import get_loaders
+
+    opt = types.SimpleNamespace(
+        dataset="mnist-seg", data="synthetic", synthSize=32, manualSeed=2,
+        imageSize=256, imageCrop=224, colorspace="bgr", dataAug="default",
+        tenCrop=False, nEpochs=1,
+    )
+    loader = get_loaders(opt)["test"]
+    _, targets = loader.get_inputs(1, loader.size(), 1)
+    iu, acc = mean_iu_acc(pred, targets)
+    assert 0.0 <= iu <= 1.0 and 0.0 <= acc <= 1.0
