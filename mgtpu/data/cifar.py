@@ -10,7 +10,6 @@ end-to-end without the original blobs."""
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

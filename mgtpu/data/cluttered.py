@@ -21,8 +21,8 @@ Images are HW numpy float arrays in [0, 1]; outputs HWC."""
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

@@ -14,7 +14,7 @@ Known reference defects NOT reproduced (SURVEY §2.8): the GammaJitter
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 from PIL import Image

@@ -5,7 +5,6 @@ rebuild + weight load here, `mnist-saliency.lua:7-15,23-25`)."""
 
 from __future__ import annotations
 
-import types
 
 from mgtpu.models.base import NetSpec, bce_loss
 

@@ -15,13 +15,13 @@ model is just a declarative plan of blocks whose widths chain.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from mgtpu.nn import ConvBN, UpConvBN, Dropout, Conv, BatchNorm, _as_rngs
+from mgtpu.nn import ConvBN, UpConvBN, Dropout, _as_rngs
 from mgtpu.ops.resample import avgpool, maxpool, maxpool2_ceil, upsample_nearest2
 
 # MGTPU_NO_FUSED_EXCHANGE=1 forces the materialized resample-concat

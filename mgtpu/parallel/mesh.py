@@ -12,7 +12,7 @@ spatial sharding can be added without re-plumbing."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -13,8 +13,6 @@ the reference's per-micro-batch forward."""
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

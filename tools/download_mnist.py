@@ -16,7 +16,6 @@ import argparse
 import gzip
 import os
 import struct
-import sys
 
 import numpy as np
 
