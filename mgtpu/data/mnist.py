@@ -44,10 +44,20 @@ def _synth_split(cfg_key: str, n: int, seed: int):
 
 
 def _load_task_npz(opt, task: str, cfg_key: str):
+    """-> (train, eval_or_None, test) split pairs. The reference blobs
+    carry {train,val,test} (`dataset/mnist-seg/dataset.lua:38-39`); the
+    val split feeds `-eval` (`pipelines/standard/eval.lua:18-84`). Tasks
+    whose generator merges valid into train (SPLITS[...] merge=True)
+    have no val split — eval then falls back to test, loudly."""
     data_dir = getattr(opt, "data", "synthetic")
     if data_dir == "synthetic":
         n = getattr(opt, "synthSize", 256)
-        return _synth_split(cfg_key, n, 1), _synth_split(cfg_key, max(n // 4, 8), 2)
+        m = max(n // 4, 8)
+        return (
+            _synth_split(cfg_key, n, 1),
+            _synth_split(cfg_key, m, 3),
+            _synth_split(cfg_key, m, 2),
+        )
     path = os.path.join(data_dir, f"mnist_{task}.npz")
     if not os.path.isfile(path):
         raise FileNotFoundError(
@@ -55,16 +65,25 @@ def _load_task_npz(opt, task: str, cfg_key: str):
             f"--task {task} or use -data synthetic"
         )
     z = np.load(path)
-    return (z["train_inputs"], z["train_targets"]), (z["test_inputs"], z["test_targets"])
+    val = (z["valid_inputs"], z["valid_targets"]) if "valid_inputs" in z else None
+    return (
+        (z["train_inputs"], z["train_targets"]),
+        val,
+        (z["test_inputs"], z["test_targets"]),
+    )
 
 
 def build_mnist_task(opt, name: str):
     task, cfg_key = TASK_OF_DATASET[name]
-    (tri, trt), (tei, tet) = _load_task_npz(opt, task, cfg_key)
+    (tri, trt), val, (tei, tet) = _load_task_npz(opt, task, cfg_key)
     norm = tf.color_normalize(*MNIST_MEANSTD)
-    train = PairedDataset(tri, trt, train_hook=norm, test_hook=norm)
-    test = PairedDataset(tei, tet, train_hook=norm, test_hook=norm)
-    return {"train": train, "test": test}
+    loaders = {
+        "train": PairedDataset(tri, trt, train_hook=norm, test_hook=norm),
+        "test": PairedDataset(tei, tet, train_hook=norm, test_hook=norm),
+    }
+    if val is not None:
+        loaders["eval"] = PairedDataset(val[0], val[1], train_hook=norm, test_hook=norm)
+    return loaders
 
 
 def occlusion_masks(size: int = 64, window: int = 8, stride: int = 2) -> np.ndarray:

@@ -192,6 +192,11 @@ def _eval_loop(sess: Session, mode: str):
     testOutput_<EPOCH>.h5 (`test.lua:63-89`)."""
     opt = sess.opt
     split = "test" if mode == "test" or "eval" not in sess.loaders else "eval"
+    if mode == "eval" and split == "test":
+        print(
+            "WARNING: -eval requested but this dataset provides no eval/val "
+            "split; falling back to the TEST split (a second test pass)."
+        )
     loader = sess.loaders[split]
     n_total = loader.size()
     step = sess.test_step if mode == "test" else sess.eval_step

@@ -83,3 +83,34 @@ def test_seg_harness_chain(tmp_path):
     _, targets = loader.get_inputs(1, loader.size(), 1)
     iu, acc = mean_iu_acc(pred, targets)
     assert 0.0 <= iu <= 1.0 and 0.0 <= acc <= 1.0
+
+
+@pytest.mark.slow
+def test_train_eval_test_three_splits(tmp_path):
+    """-train -eval -test on mnist-seg drives three DISTINCT splits
+    (`pipelines/standard/eval.lua:18-84`): the eval pass must use the
+    val split, not silently re-read test."""
+    out = _main(
+        "-netType", "mnist-cluttered/unmg", "-dataset", "mnist-seg",
+        "-data", "synthetic", "-synthSize", "32", "-batchSize", "8",
+        "-nGPU", "1", "-nDonkeys", "0", "-cache", str(tmp_path),
+        "-nEpochs", "1", "-epochSize", "2", "-train", "-eval", "-test",
+    )
+    assert "doing epoch on eval data" in out
+    assert "doing epoch on test data" in out
+    assert "WARNING: -eval requested" not in out
+    me = re.search(r"\[EVALUATION\].*avg\.loss:([0-9.]+)", out)
+    mt = re.search(r"\[TESTING\].*avg\.loss:([0-9.]+)", out)
+    assert me and mt, out[-800:]
+    # different splits -> different data -> (almost surely) different loss
+    assert me.group(1) != mt.group(1), out[-800:]
+
+    # cifar provides no eval split: the fallback must be loud
+    out2 = _main(
+        "-netType", "cifar/nmg", "-dataset", "cifar100-whitened",
+        "-data", "synthetic", "-synthSize", "64", "-nLayer", "1",
+        "-batchSize", "8", "-imageSize", "36", "-imageCrop", "32",
+        "-nGPU", "1", "-nDonkeys", "0", "-cache", str(tmp_path),
+        "-nEpochs", "1", "-epochSize", "2", "-train", "-eval",
+    )
+    assert "WARNING: -eval requested" in out2

@@ -88,6 +88,35 @@ def test_mnist_seg_synthetic():
     assert set(np.unique(y)) <= {0.0, 1.0}
 
 
+def test_mnist_three_splits(tmp_path):
+    """mnist tasks expose train/eval/test as THREE distinct splits
+    (`dataset/mnist-seg/dataset.lua:38-39`): synthetic path synthesizes
+    all three; npz path loads valid_* when present and omits eval when
+    the generator merged valid into train."""
+    loaders = get_loaders(_opt(dataset="mnist-seg", synthSize=16))
+    assert set(loaders) == {"train", "eval", "test"}
+    xe, _ = loaders["eval"].get_inputs(1, 4, 1)
+    xt, _ = loaders["test"].get_inputs(1, 4, 1)
+    assert not np.allclose(xe, xt), "eval and test splits must differ"
+
+    # npz with valid_* keys -> eval loader; without -> no eval loader
+    rng = np.random.default_rng(0)
+    blob = {
+        f"{s}_{k}": rng.random((6, 64, 64, c), dtype=np.float32)
+        for s in ("train", "valid", "test")
+        for k, c in (("inputs", 1), ("targets", 10))
+    }
+    np.savez(tmp_path / "mnist_segmentation.npz", **blob)
+    loaders = get_loaders(_opt(dataset="mnist-seg", data=str(tmp_path)))
+    assert set(loaders) == {"train", "eval", "test"}
+    assert loaders["eval"].size() == 6
+
+    merged = {k: v for k, v in blob.items() if not k.startswith("valid")}
+    np.savez(tmp_path / "mnist_spatial_transform.npz", **merged)
+    loaders = get_loaders(_opt(dataset="mnist-spt", data=str(tmp_path)))
+    assert set(loaders) == {"train", "test"}
+
+
 def test_mnist_spt_synthetic():
     loaders = get_loaders(_opt(dataset="mnist-spt", synthSize=16))
     x, y = loaders["train"].gen_inputs(4, 1, seed=0)
