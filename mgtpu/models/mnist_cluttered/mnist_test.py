@@ -18,7 +18,7 @@ def _rebuild_from_ckpt(path, opt):
     from mgtpu.models import get_net
     from mgtpu.utils.checkpoint import load_checkpoint
 
-    ckpt = load_checkpoint(path)
+    ckpt = load_checkpoint(path, allow_pickle=getattr(opt, "allowPickleCkpt", False))
     meta = ckpt["meta"]
     inner_opt = types.SimpleNamespace(**{**vars(opt), **meta})
     inner_opt.compute_dtype = getattr(opt, "compute_dtype", None)

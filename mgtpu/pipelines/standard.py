@@ -57,7 +57,7 @@ class Session:
         if start is not None:
             params, stats, opt_state = start
         elif opt.retrain != "none":
-            ckpt = load_checkpoint(opt.retrain)
+            ckpt = load_checkpoint(opt.retrain, allow_pickle=getattr(opt, "allowPickleCkpt", False))
             params, stats = ckpt["params"], ckpt["stats"]
             opt_state = ckpt["opt_state"] or sgd_init(params)
             print(f"=> resumed from {opt.retrain} (epoch {ckpt['epoch']})")

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-netType", default="alexnet")
     p.add_argument("-dataset", default="ilsvrc")
     p.add_argument("-retrain", default="none", help="checkpoint to resume from")
+    p.add_argument("-allowPickleCkpt", action="store_true",
+                   help="permit loading legacy round-1 pickle checkpoints "
+                        "(unpickling executes code; trusted files only)")
     # ------------- Run options -------------------------
     p.add_argument("-train", action="store_true")
     p.add_argument("-eval", action="store_true")

@@ -82,3 +82,46 @@ def test_checkpoint_atomic_write(tmp_path):
     import os
 
     assert os.path.exists(path) and not os.path.exists(path + ".tmp")
+
+
+def test_checkpoint_is_not_pickle(tmp_path):
+    """The format is a zip of raw npy arrays + JSON structure; loading
+    never unpickles. Legacy pickles load only behind allow_pickle."""
+    import pickle
+    import zipfile
+
+    import ml_dtypes
+    import pytest
+
+    from mgtpu.utils.checkpoint import CKPT_FORMAT, CKPT_VERSION
+
+    tree = {
+        "w": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "b16": np.ones((3,), ml_dtypes.bfloat16),
+        "nest": {"t": (np.zeros(2), [np.ones(1)])},
+    }
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, tree, {"s": np.float32(2.0)}, None, epoch=7,
+                    meta={"netType": "cifar/nmg"})
+    assert zipfile.is_zipfile(path)
+    ckpt = load_checkpoint(path)
+    assert ckpt["epoch"] == 7 and ckpt["opt_state"] is None
+    assert ckpt["params"]["b16"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(ckpt["params"]["w"], tree["w"])
+    assert isinstance(ckpt["params"]["nest"]["t"], tuple)
+    assert isinstance(ckpt["params"]["nest"]["t"][1], list)
+
+    legacy = str(tmp_path / "legacy.ckpt")
+    with open(legacy, "wb") as f:
+        pickle.dump({"params": {}, "stats": {}, "opt_state": None,
+                     "epoch": 1, "meta": {}}, f)
+    with pytest.raises(ValueError, match="allowPickleCkpt"):
+        load_checkpoint(legacy)
+    assert load_checkpoint(legacy, allow_pickle=True)["epoch"] == 1
+
+    # future versions refuse loudly rather than misparse
+    import json
+
+    with np.load(path) as z:
+        struct = json.loads(str(z["__struct__"]))
+    assert struct["format"] == CKPT_FORMAT and struct["version"] == CKPT_VERSION

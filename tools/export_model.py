@@ -45,6 +45,8 @@ def main():
     ap.add_argument("-depth", type=int, default=None)
     ap.add_argument("-shortcutType", default="A")
     ap.add_argument("-out", required=True)
+    ap.add_argument("-allow-pickle", dest="allow_pickle", action="store_true",
+                    help="permit legacy pickle checkpoints (trusted files only)")
     ap.add_argument("-platforms", nargs="*", default=None,
                     help="lowering platforms, e.g. -platforms tpu cpu "
                          "(default: the current backend)")
@@ -61,7 +63,7 @@ def main():
     net = get_net(args.netType)
     model = net.create_model(opt)
     if args.ckpt:
-        ckpt = load_checkpoint(args.ckpt)
+        ckpt = load_checkpoint(args.ckpt, allow_pickle=args.allow_pickle)
         params, stats = ckpt["params"], ckpt["stats"]
     else:
         params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
