@@ -147,7 +147,13 @@ def build_cifar100_whitened(opt):
         steps.append(tf.rotation_exact(np.pi / 6))
     steps += [tf.scale(image_size, "bilinear"), tf.random_crop(crop), tf.horizontal_flip(0.5)]
     train_hook = tf.compose(steps)
-    test_hook = tf.compose([cs, tf.scale(image_size, "bilinear"), tf.center_crop(crop)])
+    # Test hook divergence (documented, PARITY §2.8): the reference's
+    # testHook runs loadImage -> dataAug, i.e. RANDOM affine/rotate
+    # jitter at test time when -dataAug is set (donkey.lua:166-171);
+    # here evaluation is deterministic (colorspace + resize only). The
+    # zero-pad branch IS kept: -imageCrop > -imageSize pads like
+    # donkey.lua:167-177 instead of crashing.
+    test_hook = tf.compose([cs, tf.scale(image_size, "bilinear"), tf.center_crop_pad(crop)])
 
     train = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
     test = ClassBalancedDataset(ted, tel, n_classes, None, test_hook)

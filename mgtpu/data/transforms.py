@@ -95,6 +95,27 @@ def center_crop(size: int) -> Transform:
     return f
 
 
+def center_crop_pad(size: int) -> Transform:
+    """Center crop that zero-pads when the crop exceeds the image: the
+    available centered region lands at the TOP-LEFT of a zero canvas,
+    padding bottom/right — matching the cifar100-whitened test hook
+    (`dataset/cifar100-whitened/donkey.lua:167-177`)."""
+    cc = center_crop(size)
+
+    def f(img, rng):
+        h, w = img.shape[:2]
+        if h >= size and w >= size:
+            return cc(img, rng)
+        h1 = max(int(math.ceil((h - size) / 2)), 0)
+        w1 = max(int(math.ceil((w - size) / 2)), 0)
+        crop = img[h1 : h1 + size, w1 : w1 + size]
+        out = np.zeros((size, size) + img.shape[2:], img.dtype)
+        out[: crop.shape[0], : crop.shape[1]] = crop
+        return out
+
+    return f
+
+
 def random_crop(size: int, padding: int = 0) -> Transform:
     """Random crop with optional zero padding (`transforms.lua:60-84`)."""
 
@@ -102,6 +123,15 @@ def random_crop(size: int, padding: int = 0) -> Transform:
         if padding > 0:
             img = np.pad(img, ((padding, padding), (padding, padding), (0, 0)))
         h, w = img.shape[:2]
+        if h < size or w < size:  # crop larger than image: zero-pad
+            # bottom/right to fit (the reference trainHook would crash
+            # here — donkey.lua:57-71 asserts; pad instead, mirroring
+            # the testHook's pad branch)
+            img = np.pad(
+                img,
+                ((0, max(size - h, 0)), (0, max(size - w, 0)), (0, 0)),
+            )
+            h, w = img.shape[:2]
         if h == size and w == size:
             return img
         x1 = rng.integers(0, w - size + 1)

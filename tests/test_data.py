@@ -263,3 +263,20 @@ def test_colorspace_dataaug_matrix():
             x, y = get_loaders(opt)["train"].gen_inputs(4, 1, seed=3)
             c = 1 if cs == "gray" else 3
             assert x.shape == (4, 32, 32, c), (cs, aug, x.shape)
+
+
+def test_cifar_whitened_testhook_zero_pads():
+    """-imageCrop > -imageSize zero-pads the centered crop bottom/right
+    (`dataset/cifar100-whitened/donkey.lua:167-177`)."""
+    loaders = get_loaders(_opt(dataset="cifar100-whitened", imageSize=36,
+                               imageCrop=40, synthSize=100))
+    x, y = loaders["test"].get_inputs(1, 2, 1)
+    assert x.shape == (2, 40, 40, 3)
+    # image content lands top-left; the last 4 rows/cols are zero pad
+    assert np.all(x[:, 36:, :, :] == 0) and np.all(x[:, :, 36:, :] == 0)
+    assert np.any(x[:, :36, :36, :] != 0)
+
+    # equal sizes keep the plain center-crop path
+    sm = tf.center_crop_pad(3)(np.arange(25, dtype=np.float32).reshape(5, 5, 1),
+                               np.random.default_rng(0))
+    assert sm.shape == (3, 3, 1) and sm[0, 0, 0] == 6.0
