@@ -95,6 +95,39 @@ class FolderDataset:
     def size(self) -> int:
         return len(self.paths)
 
+    def subset(self, keep: np.ndarray, hook) -> "FolderDataset":
+        """A view over a subset of sample indices (no rescan), used by
+        the single-tree train/test split (`dataset.lua:217-263`)."""
+        ds = object.__new__(FolderDataset)
+        ds.root, ds.balanced = self.root, self.balanced
+        ds.classes, ds.class_to_idx = self.classes, self.class_to_idx
+        ds.hook = hook
+        ds.paths = [self.paths[i] for i in keep]
+        ds.labels = self.labels[keep]
+        ds.class_list = [[] for _ in self.classes]
+        for new_i, lab in enumerate(ds.labels):
+            ds.class_list[int(lab)].append(new_i)
+        return ds
+
+    def split_train_test(self, split_pct: int, seed: int, test_hook):
+        """Per-class split: train takes floor(count*split/100 + 0.5) of
+        a seeded permutation, test the remainder — the reference
+        dataLoader's split option (`dataset/ilsvrc/dataset.lua:217-263`,
+        exposed here as -split since the shipped donkey only ever used
+        pre-split train/+val/ trees)."""
+        rng = np.random.default_rng(seed)
+        tr_idx, te_idx = [], []
+        for members in self.class_list:
+            members = np.asarray(members, np.int64)
+            perm = rng.permutation(len(members))
+            k = int(np.floor(len(members) * split_pct / 100 + 0.5))
+            tr_idx.append(members[perm[:k]])
+            te_idx.append(members[perm[k:]])
+        return (
+            self.subset(np.concatenate(tr_idx), self.hook),
+            self.subset(np.concatenate(te_idx), test_hook),
+        )
+
     def sample(self, quantity: int, rng: np.random.Generator):
         xs, ys = [], []
         for _ in range(quantity):
@@ -184,6 +217,15 @@ def build_ilsvrc(opt):
             "train": SynthIlsvrc(n, train_transform(), n_classes),
             "test": SynthIlsvrc(max(n // 4, 8), test_transform(ten), n_classes),
         }
+    split = int(getattr(opt, "split", 0))
+    if split:  # single-tree per-class split (`dataset.lua:217-263`)
+        full = FolderDataset(data_dir, train_transform())
+        if not full.classes:
+            raise FileNotFoundError(f"no class directories under {data_dir}")
+        train, test = full.split_train_test(
+            split, getattr(opt, "manualSeed", 2), test_transform(ten)
+        )
+        return {"train": train, "test": test}
     train_dir = os.path.join(data_dir, "train")
     val_dir = os.path.join(data_dir, "val")
     out = {}
@@ -193,5 +235,8 @@ def build_ilsvrc(opt):
         classes = out["train"].classes if "train" in out else None
         out["test"] = FolderDataset(val_dir, test_transform(ten), classes=classes)
     if not out:
-        raise FileNotFoundError(f"no train/ or val/ under {data_dir}")
+        raise FileNotFoundError(
+            f"no train/ or val/ under {data_dir} (for a single "
+            "directory-per-class tree, pass -split <pct-to-train>)"
+        )
     return out

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "2..9 of the first epoch into DIR (view with "
                         "tensorboard/xprof)")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
+    p.add_argument("-split", type=int, default=0,
+                   help="ilsvrc: split a single directory-per-class tree "
+                        "N%%/(100-N)%% into train/test (0 = expect "
+                        "pre-split train/ + val/ dirs)")
     return p
 
 

@@ -280,3 +280,38 @@ def test_cifar_whitened_testhook_zero_pads():
     sm = tf.center_crop_pad(3)(np.arange(25, dtype=np.float32).reshape(5, 5, 1),
                                np.random.default_rng(0))
     assert sm.shape == (3, 3, 1) and sm[0, 0, 0] == 6.0
+
+
+def test_ilsvrc_single_tree_split(tmp_path):
+    """-split N splits ONE directory-per-class tree per class:
+    train = floor(count*N/100+.5) of a seeded permutation, test = rest
+    (`dataset/ilsvrc/dataset.lua:217-263`)."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(1)
+    for cname, count in (("n01", 10), ("n02", 5), ("n03", 1)):
+        d = tmp_path / cname
+        d.mkdir(parents=True)
+        for j in range(count):
+            arr = (rng.uniform(size=(40, 40, 3)) * 255).astype(np.uint8)
+            PILImage.fromarray(arr).save(d / f"img{j}.jpg")
+
+    loaders = get_loaders(_opt(dataset="ilsvrc", data=str(tmp_path),
+                               split=80, manualSeed=2))
+    tr, te = loaders["train"], loaders["test"]
+    # per-class: 10 -> 8/2, 5 -> 4/1, 1 -> 1/0 (all-train class allowed)
+    assert tr.size() == 13 and te.size() == 3
+    assert [len(m) for m in tr.class_list] == [8, 4, 1]
+    assert [len(m) for m in te.class_list] == [2, 1, 0]
+    # disjoint and exhaustive
+    assert set(tr.paths).isdisjoint(te.paths)
+    assert len(set(tr.paths) | set(te.paths)) == 16
+    # deterministic per seed
+    again = get_loaders(_opt(dataset="ilsvrc", data=str(tmp_path),
+                             split=80, manualSeed=2))["train"]
+    assert again.paths == tr.paths
+    # loaders still function (sampling tolerates the empty test class)
+    x, y = tr.gen_inputs(4, 1, seed=0)
+    assert x.shape == (4, 224, 224, 3)
+    xt, yt = te.get_inputs(1, te.size(), 1)
+    assert xt.shape == (3, 224, 224, 3)
