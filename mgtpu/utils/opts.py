@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-eval", action="store_true")
     p.add_argument("-test", action="store_true")
     p.add_argument("-pipeline", default="standard")
+    p.add_argument("-saliencyBatch", type=int, default=4,
+                   help="saliency pipeline: occlusion stacks per forward")
     # ------------- TPU-native additions ----------------
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")

@@ -3,6 +3,7 @@ occlusion-impact accumulation (mgtpu/pipelines/saliency.py), pinned to
 the reference's semantics (`pipelines/saliency/test.lua:51-117` probe
 layout; `:146-157` impact>=0.1 gated mask sum)."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from mgtpu.pipelines.saliency import interest_point, saliency_map
@@ -69,3 +70,46 @@ def test_saliency_map_gated_accumulation():
     assert sal[3].sum() == 0.0
     # probes that watch nothing accumulate nothing
     assert sal[1].sum() == sal[6].sum() == 0.0
+
+
+def test_pipeline_grouping_bit_identical(tmp_path):
+    """run() forwards k occlusion stacks per jit call with a padded
+    tail group; outputs must be bit-identical for any -saliencyBatch
+    (per-sample eval forwards are independent)."""
+    import types
+
+    import h5py
+
+    from mgtpu.data import get_loaders
+    from mgtpu.data.prefetch import DonkeyPool
+    from mgtpu.pipelines import saliency as sal_pipe
+
+    class StubModel:
+        def apply(self, p, s, x, train=False, rng=None):
+            return jnp.tanh(x), s
+
+    def build_sess(k, save):
+        opt = types.SimpleNamespace(
+            dataset="mnist-saliency", data="synthetic", synthSize=5,
+            imageSize=64, imageCrop=64, colorspace="gray",
+            dataAug="default", saliencyBatch=k, save=str(save),
+        )
+        sess = types.SimpleNamespace(
+            opt=opt, model=StubModel(), params={}, stats={},
+            loaders=get_loaders(opt),
+        )
+        sess.pool = DonkeyPool(0, opt=opt, loaders=sess.loaders)
+        return sess
+
+    for k in (1, 3):
+        sal_pipe.run(build_sess(k, tmp_path / f"k{k}"))
+
+    with h5py.File(tmp_path / "k1" / "testOutput.h5") as f1, \
+         h5py.File(tmp_path / "k3" / "testOutput.h5") as f3:
+        keys1 = sorted(f1.keys())
+        assert keys1 == sorted(f3.keys()) and keys1  # same samples kept
+        for gid in keys1:
+            for ds in ("points", "saliency", "input", "output"):
+                np.testing.assert_array_equal(
+                    np.asarray(f1[f"{gid}/{ds}"]), np.asarray(f3[f"{gid}/{ds}"])
+                )
