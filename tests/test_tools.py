@@ -176,3 +176,32 @@ def test_export_serve_roundtrip(tmp_path):
     params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
     ref = np.asarray(model.apply(params, stats, jnp.asarray(x), train=False)[0])
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_zca_exact_mathematical_pins():
+    """Offline verification of the whitening recipe (the published blob
+    is unavailable on a zero-egress box; these pins make a future data
+    drop turnkey — PARITY 'convergence protocol'): GCN rows have norm
+    55 (pylearn2 convention), the ZCA matrix is symmetric, and the
+    whitened train covariance's eigenvalues are exactly s/(s+eps) with
+    eps=0.1 — near-1 for high-variance directions."""
+    sys.path.insert(0, TOOLS)
+    from ingest_cifar import gcn, zca_fit
+
+    rng = np.random.default_rng(0)
+    # anisotropic data so the covariance has real structure
+    basis = rng.normal(size=(48, 48))
+    x = rng.normal(size=(600, 48)) @ (basis * np.geomspace(1, 30, 48))
+
+    g = gcn(x)
+    np.testing.assert_allclose(np.linalg.norm(g, axis=1), 55.0, rtol=1e-6)
+    np.testing.assert_allclose(g.mean(axis=1), 0.0, atol=1e-9)
+
+    mean, w = zca_fit(g, eps=0.1)
+    np.testing.assert_allclose(w, w.T, atol=1e-9)  # zero-phase
+
+    xw = (g - mean) @ w
+    cov = xw.T @ xw / len(xw)
+    evals = np.sort(np.linalg.eigvalsh(cov))
+    s = np.sort(np.linalg.eigvalsh((g - mean).T @ (g - mean) / len(g)))
+    np.testing.assert_allclose(evals, s / (s + 0.1), rtol=1e-7, atol=1e-9)
