@@ -1,13 +1,27 @@
 """Headline benchmark: R-MG-34 (ilsvrc/rnmg depth 34) ImageNet-shape
-inference throughput, images/sec/chip, bf16, on the attached TPU —
-the driver target is >= 10,000 images/sec/chip on v5e (BASELINE.md).
+throughput on the attached TPU, bf16, single chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
-vs_baseline is value / 10_000. Training (fwd+bwd+sgd) throughput is
-reported on stderr as a secondary number.
+Prints ONE JSON line. The headline metric is inference images/sec/chip
+(driver target >= 10,000 on v5e, BASELINE.md); the same object carries
+the training (fwd+bwd+sgd) throughput and an MFU estimate for both so
+the artifact is unambiguous about which bar is being claimed:
 
-Usage: python bench.py [batch] [--train]
+  {"metric": ..., "value": N, "unit": "images/sec/chip",
+   "vs_baseline": N,            # inference value / 10_000
+   "train_value": N,            # fwd+bwd+sgd images/sec/chip
+   "train_mfu": f, "infer_mfu": f,
+   "train_ceiling": N}          # 100%-MFU img/s for fwd+bwd at this
+                                # model's FLOPs — shows 10k fwd+bwd is
+                                # not physical on one chip
+
+MFU = img/s * FLOPs/img / chip bf16 peak, with FLOPs/img = 2 * MACs
+(inference) or 3 * 2 * MACs (training: bwd costs ~2x fwd). MACs/img is
+the *reference-formulation* count (5.760G for R-MG-34 at 224px, pinned
+against the published 5.76G by tools/model_info.py + tests/test_tools
+.py) — the TPU formulation's dilated up-convs would inflate the count
+without representing more useful work.
+
+Usage: python bench.py [batch] [--no-train]
 """
 
 import json
@@ -17,6 +31,28 @@ import types
 
 import jax
 import jax.numpy as jnp
+
+# R-MG-34 @ 224px multiply-adds per image, reference formulation
+# (tools/model_info.py with MGTPU_NO_FUSED_EXCHANGE=1; matches
+# /root/reference/README.md:109's 5.76 GFLOPs).
+MACS_PER_IMAGE = 5.760e9
+
+# bf16 peak FLOP/s per chip by device kind (jax.devices()[0].device_kind).
+_PEAK = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK.items():
+        if kind.startswith(k):
+            return v
+    return 197e12  # default to the v5e target hardware
 
 
 def _sync(v):
@@ -73,7 +109,7 @@ def bench_train(model, net, opt, params, stats, batch):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 128
-    with_train = "--train" in sys.argv
+    with_train = "--no-train" not in sys.argv
 
     from mgtpu.models import get_net
 
@@ -86,22 +122,32 @@ def main():
     # no device_count division (which would underreport on multi-chip
     # hosts)
 
+    peak = chip_peak_flops()
+    infer_flops = 2.0 * MACS_PER_IMAGE
+    train_flops = 3.0 * infer_flops  # fwd + ~2x-fwd bwd
+
     ips = bench_infer(model, params, stats, batch)
+    result = {
+        "metric": "images/sec/chip R-MG-34 224px inference (batch %d, bf16)" % batch,
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 10000.0, 4),
+        "infer_mfu": round(ips * infer_flops / peak, 4),
+        "train_ceiling": round(peak / train_flops, 1),
+    }
     if with_train:
         tips = bench_train(model, net, opt, params, stats, batch)
-        print(f"train fwd+bwd+sgd: {tips:.1f} images/sec/chip (batch {batch})",
-              file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "images/sec/chip R-MG-34 224px inference (batch %d, bf16)" % batch,
-                "value": round(ips, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / 10000.0, 4),
-            }
+        result["train_value"] = round(tips, 1)
+        result["train_unit"] = "images/sec/chip fwd+bwd+sgd"
+        result["train_mfu"] = round(tips * train_flops / peak, 4)
+        print(
+            f"train fwd+bwd+sgd: {tips:.1f} images/sec/chip (batch {batch}, "
+            f"mfu {result['train_mfu']:.3f}, 100%-MFU ceiling "
+            f"{result['train_ceiling']:.0f})",
+            file=sys.stderr,
         )
-    )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

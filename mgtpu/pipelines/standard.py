@@ -78,10 +78,14 @@ class Session:
         )
         self.epoch = opt.epochNumber
 
+        # donate params/stats/opt_state: each call consumes the previous
+        # call's outputs, so XLA can update in place (halves peak param
+        # HBM and removes defensive copies)
         self.train_step = jax.jit(
             make_train_step(self.model, self.loss_fn, self.net,
                             iter_size=opt.iterSize, momentum=opt.momentum,
-                            remat=getattr(opt, "remat", False))
+                            remat=getattr(opt, "remat", False)),
+            donate_argnums=(0, 1, 2),
         )
         from mgtpu.train.step import make_tencrop_eval_step
 
@@ -146,6 +150,28 @@ def train(sess: Session):
     t_epoch = time.time()
     t_data = time.time()
     rng = jax.random.PRNGKey(seed0)
+    n = opt.batchSize * opt.iterSize
+
+    # Metrics are synced ONE iteration late: fetching a metric value
+    # blocks the host on the device step, which would serialize dispatch
+    # with compute. Holding iteration i's (device-resident) metrics
+    # while dispatching i+1 keeps the device busy back-to-back; the
+    # per-iteration line is printed one step later with identical
+    # content. (The reference's trainBatch printed synchronously but its
+    # donkey queue gave it the same overlap, `train.lua:184-199`.)
+    pending = None  # (it, device metrics, dispatch timestamp, data_t)
+
+    def flush(p):
+        p_it, p_metrics, p_t0, p_data_t = p
+        vals = jax.tree.map(float, p_metrics)  # blocks until step done
+        run_t = time.time() - p_t0
+        _acc_update(acc, vals, n)
+        print(
+            f"{now()} Epoch: [{sess.epoch}][{p_it + 1}/{opt.epochSize}]\t"
+            f"Run:{run_t:.3f}s lr:{lr:.3e} Data:{p_data_t:.3f}s "
+            + fmt_metrics(vals)
+        )
+
     with jax.set_mesh(sess.mesh):
         for it, batch in enumerate(sess.pool.imap_specs(specs())):
             data_t = time.time() - t_data
@@ -158,21 +184,17 @@ def train(sess: Session):
             sess.params, sess.stats, sess.opt_state, metrics = sess.train_step(
                 sess.params, sess.stats, sess.opt_state, batch, lr, wd, sub
             )
-            metrics = jax.tree.map(float, metrics)
-            run_t = time.time() - t_run
+            if pending is not None:
+                flush(pending)
+            pending = (it, metrics, t_run, data_t)
             if prof_live and it >= 8:
                 jax.profiler.stop_trace()
                 prof_live = False
                 prof_dir = ""
                 print(f"profiler trace -> {opt.profile}")
-            n = opt.batchSize * opt.iterSize
-            _acc_update(acc, metrics, n)
-            print(
-                f"{now()} Epoch: [{sess.epoch}][{it + 1}/{opt.epochSize}]\t"
-                f"Run:{run_t:.3f}s lr:{lr:.3e} Data:{data_t:.3f}s "
-                + fmt_metrics(metrics)
-            )
             t_data = time.time()
+        if pending is not None:
+            flush(pending)
         if prof_live:  # epochSize < 9: close the trace at epoch end
             jax.profiler.stop_trace()
             print(f"profiler trace -> {opt.profile}")

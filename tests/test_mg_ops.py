@@ -172,3 +172,44 @@ def test_grads_flow():
     norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
     assert all(np.isfinite(norms))
     assert sum(n > 0 for n in norms) > len(norms) * 0.5
+
+
+def test_bn_custom_vjp_matches_naive_autodiff(monkeypatch):
+    """The train-mode BN uses a custom VJP (one-pass moments, canonical
+    2-reduction backward, nn.py:_bn_train) — value, all gradients, and
+    the running-stat update must match the naive autodiff formulation
+    to fp32 tolerance."""
+    import os
+
+    from mgtpu.nn import BatchNorm
+
+    bn = BatchNorm(8, eps=1e-5)
+    _, s = bn.init(jax.random.PRNGKey(0))
+    p = {
+        "scale": jax.random.uniform(jax.random.PRNGKey(0), (8,), jnp.float32, 0.5, 1.5),
+        "bias": jax.random.normal(jax.random.PRNGKey(1), (8,)),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 5, 5, 8), jnp.float32) * 3 + 1.5
+
+    def run():
+        def loss(p, x):
+            y, ns = bn.apply(p, s, x, train=True)
+            return jnp.sum(jnp.sin(y)), ns
+
+        (l, ns), g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(p, x)
+        return l, g, ns
+
+    monkeypatch.setenv("MGTPU_BN_NAIVE", "1")
+    l1, g1, ns1 = run()
+    monkeypatch.delenv("MGTPU_BN_NAIVE")
+    l2, g2, ns2 = run()
+
+    assert abs(float(l1) - float(l2)) < 1e-4
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(g1[0][k], g2[0][k], atol=1e-4)
+    np.testing.assert_allclose(g1[1], g2[1], atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(ns1[k], ns2[k], atol=1e-5)
+
+    yb, nsb = bn.apply(p, s, x.astype(jnp.bfloat16), train=True)
+    assert yb.dtype == jnp.bfloat16 and nsb["mean"].dtype == jnp.float32
