@@ -11,6 +11,7 @@ import types
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mgtpu.data import get_loaders
 from mgtpu.models import get_net
@@ -18,6 +19,7 @@ from mgtpu.train.optim import sgd_init
 from mgtpu.train.step import make_eval_step, make_train_step
 
 
+@pytest.mark.slow  # ~90s: 40 compiled train steps
 def test_mg6_learns_synthetic_cifar():
     opt = types.SimpleNamespace(
         dataset="cifar100-whitened", data="synthetic", synthSize=800,

@@ -142,6 +142,7 @@ def test_model_info_rmg34_matches_published_counts():
     assert row["macs_per_image"] == 5_760_277_760
 
 
+@pytest.mark.slow  # jax.export + reload compile
 def test_export_serve_roundtrip(tmp_path):
     """StableHLO export -> deserialize -> call must reproduce the live
     model's forward exactly (tools/export_model.py + serve_exported.py)."""

@@ -41,6 +41,7 @@ def test_sgd_matches_reference_semantics():
     np.testing.assert_allclose(np.asarray(st2["m"]["w"]), exp_m2, rtol=1e-6)
 
 
+@pytest.mark.slow  # compile-heavy; fast tier keeps test_dp_matches_single_device + grad-accum
 def test_train_step_runs_and_learns():
     net, model, params, stats, loss_fn, step = _setup()
     jstep = jax.jit(step)
@@ -58,6 +59,7 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0]  # overfits a fixed batch
 
 
+@pytest.mark.slow  # compile-heavy; fast tier keeps test_dp_matches_single_device + grad-accum
 def test_train_step_data_parallel_mesh():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(n_data=8)
@@ -136,6 +138,7 @@ def test_eval_step():
     assert 0.0 <= float(m["top1"]) <= 1.0
 
 
+@pytest.mark.slow  # compile-heavy; fast tier keeps test_dp_matches_single_device + grad-accum
 def test_tencrop_eval_step():
     """10-crop eval averages crop probabilities: feeding 10 IDENTICAL
     crops must reproduce the single-crop metrics exactly, and mixed
@@ -163,6 +166,7 @@ def test_tencrop_eval_step():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy; fast tier keeps test_dp_matches_single_device + grad-accum
 def test_remat_train_step_matches():
     """-remat changes memory behavior, not numerics: one update with
     jax.checkpoint must equal the plain step bit-for-bit."""

@@ -37,6 +37,37 @@ CASES = [
 
 
 @pytest.mark.parametrize("name,o,in_shape,out_shape,n_params", CASES)
+def test_model_param_counts(name, o, in_shape, out_shape, n_params):
+    """Topology pin WITHOUT compiling: eval_shape the initializer and
+    check the parameter count and (abstract) output shape. This is the
+    fast-tier regression against channel-arithmetic changes; the
+    compiled forward lives in the slow tier below."""
+    opt = types.SimpleNamespace(**o)
+    net = get_net(name)
+    model = net.create_model(opt)
+    params, stats = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    assert abs(param_count(params) - n_params) < 0.01e6, param_count(params)
+
+    x = jax.ShapeDtypeStruct(in_shape, jnp.float32)
+    out, _ = jax.eval_shape(
+        lambda p, s, x: model.apply(p, s, x, train=False), params, stats, x
+    )
+    assert out.shape == out_shape
+
+
+# compiling every zoo model takes 10-80s each on a 1-core CPU host, so
+# the jitted train-mode forward is slow-tier (VERDICT round 1 item 9);
+# the cheap members stay fast so the tier still exercises the code path
+_HEAVY_FWD = {"cifar/pnmg", "cifar/rnmg", "cifar/prnmg",
+              "mnist-cluttered/unmg", "mnist-cluttered/pnmg.mnist",
+              "mnist-cluttered/prnmg.mnist"}
+
+
+@pytest.mark.parametrize(
+    "name,o,in_shape,out_shape,n_params",
+    [pytest.param(*c, marks=pytest.mark.slow) if c[0] in _HEAVY_FWD
+     else c for c in CASES],
+)
 def test_model_builds_and_forwards(name, o, in_shape, out_shape, n_params):
     opt = types.SimpleNamespace(**o)
     net = get_net(name)
@@ -97,6 +128,7 @@ TRAIN_CASES = [
 ]
 
 
+@pytest.mark.slow  # compile-heavy: fwd+bwd for every zoo model
 @pytest.mark.parametrize("name,o,in_shape,n_classes", TRAIN_CASES)
 def test_model_train_step(name, o, in_shape, n_classes):
     """Every zoo model must take a gradient step (finite loss, params
