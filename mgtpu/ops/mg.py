@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from mgtpu.nn import ConvBN, UpConvBN, Dropout, _as_rngs
 from mgtpu.ops.resample import avgpool, maxpool, maxpool2_ceil, upsample_nearest2
+from mgtpu.parallel.mesh import constrain_pyramid
 
 # MGTPU_NO_FUSED_EXCHANGE=1 forces the materialized resample-concat
 # formulation everywhere — used by tools/model_info.py to count the
@@ -149,7 +150,7 @@ class MgConvInput:
                 xi = avgpool(xi, 2)  # avgpool(2^i) of x, at 1/4 the bytes
             y, new_s[str(i)] = conv.apply(p[str(i)], s[str(i)], xi, train=train, rng=rng)
             out.append(y)
-        return tuple(out), new_s
+        return constrain_pyramid(out), new_s
 
 
 @dataclass
@@ -183,7 +184,7 @@ class MgStem7x7:
                 xi = avgpool(xi, 2)
             y, new_s[str(i)] = conv.apply(p[str(i)], s[str(i)], xi, train=train)
             out.append(maxpool(y, 3, 2, 1))
-        return tuple(out), new_s
+        return constrain_pyramid(out), new_s
 
 
 @dataclass
@@ -242,7 +243,7 @@ class MgConv:
                     p[str(i)], s[str(i)], mixed[i], train=train, rng=rng
                 )
                 out.append(y)
-        return tuple(out), new_s
+        return constrain_pyramid(out), new_s
 
 
 @dataclass
@@ -383,7 +384,7 @@ class MgResidual:
                 xi, _ = self.drop.apply({}, {}, xi, train=train, rng=rng)
             y, new_s[str(i)] = layer.apply(p[name][str(i)], s[name][str(i)], xi, train=train)
             out.append(y)
-        return tuple(out), new_s
+        return constrain_pyramid(out), new_s
 
     def apply(self, p, s, pyr, *, train=False, rng=None):
         rng = _as_rngs(rng)
@@ -404,7 +405,7 @@ class MgResidual:
                     short = jnp.pad(x, pad)
             z = y + short.astype(y.dtype)
             out.append(jax.nn.relu(z) if self.final_relu else z)
-        return tuple(out), {"s1": s1, "s2": s2, "sc": sc_s}
+        return constrain_pyramid(out), {"s1": s1, "s2": s2, "sc": sc_s}
 
 
 @dataclass
@@ -442,7 +443,7 @@ class MgPool:
             out = [maxpool2_ceil(pyr[i]) for i in range(n - 1)]
         else:
             out = [maxpool2_ceil(x) for x in pyr]
-        return tuple(out), s
+        return constrain_pyramid(out), s
 
 
 @dataclass
@@ -471,7 +472,7 @@ class MgUpConv:
         for i, u in enumerate(self.ups):
             y, new_s[str(i)] = u.apply(p[str(i)], s[str(i)], pyr[i], train=train)
             out.append(y)
-        return tuple(out), new_s
+        return constrain_pyramid(out), new_s
 
 
 @dataclass
@@ -494,4 +495,4 @@ class PerScale:
             else:
                 y, new_s[str(i)] = layer.apply(p[str(i)], s[str(i)], pyr[i], train=train, rng=rng)
                 out.append(y)
-        return tuple(out), new_s
+        return constrain_pyramid(out), new_s

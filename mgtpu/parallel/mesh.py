@@ -37,11 +37,60 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree, batch_axis: int = 0):
+def shard_batch(mesh: Mesh, tree, batch_axis: int = 0, spatial: bool = False):
     """Place host arrays on the mesh with the batch dim split over
-    'data'. Batch size must divide the data-axis size."""
-    sh = batch_sharding(mesh, batch_axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    'data'. Batch size must divide the data-axis size.
+
+    With ``spatial=True`` (the CNN analog of sequence parallelism —
+    SURVEY §5 reserves the 'model' axis for exactly this), image-shaped
+    leaves additionally split their HEIGHT dim (batch_axis+1) over the
+    'model' axis. XLA's GSPMD partitioner then inserts the halo
+    exchanges the 3x3 convs and 2x2 pools need at shard boundaries —
+    the same compiler mechanism that inserts the gradient psum for the
+    'data' axis, so no hand-written collectives appear here either.
+    Leaves without spatial extent beyond the batch dim (labels) stay
+    batch-sharded only; segmentation targets (..., H, W, C) split like
+    images so the elementwise loss stays local."""
+
+    def put(x):
+        spec = [None] * max(x.ndim, batch_axis + 1)
+        spec[batch_axis] = "data"
+        if spatial and mesh.shape["model"] > 1 and x.ndim >= batch_axis + 4:
+            spec[batch_axis + 1] = "model"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec[: x.ndim])))
+
+    return jax.tree.map(put, tree)
+
+
+def constrain_spatial(x):
+    """Pin an NHWC activation's 'model'-axis sharding under -spatial.
+
+    GSPMD left alone will propagate the input's H-sharding all the way
+    down the pyramid, including to 1-row coarse scales, where it takes
+    its own "last-resort replicate" path (spmd_partitioner.cc warning)
+    — which is both slow and, measured on the 8-device virtual mesh,
+    NUMERICALLY WRONG for this model (train-step loss 5.8307 vs 5.9200
+    replicated). So: H is split over 'model' only while each shard
+    keeps >= 8 rows and the 2x2 halo exchanges stay aligned
+    (H % 2*n_model == 0); every coarser scale is explicitly replicated
+    over 'model'. This is also the right perf shape — the fine grids
+    carry ~all the FLOPs, the coarse ones are cheaper than their halo
+    traffic. No-op unless a mesh with a >1 'model' axis is active."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or "model" not in mesh.shape or mesh.shape["model"] == 1:
+        return x
+    if not hasattr(x, "ndim") or x.ndim != 4:
+        return x
+    nm = mesh.shape["model"]
+    h = x.shape[1]
+    U = P.UNCONSTRAINED
+    h_spec = "model" if (h % (2 * nm) == 0 and h // nm >= 8) else None
+    return jax.lax.with_sharding_constraint(x, P(U, h_spec, U, U))
+
+
+def constrain_pyramid(pyr):
+    """constrain_spatial over a tuple-of-arrays pyramid."""
+    return tuple(constrain_spatial(x) for x in pyr)
 
 
 def replicate(mesh: Mesh, tree):

@@ -39,18 +39,26 @@ class Session:
         self.model = self.net.create_model(opt)
         self.loss_fn = self.net.create_loss(opt)
 
-        n_data = opt.nGPU if opt.nGPU > 0 else jax.device_count()
-        n_data = min(n_data, jax.device_count())
+        n_model = max(getattr(opt, "spatial", 1), 1)
+        if jax.device_count() % n_model or jax.device_count() < n_model:
+            raise SystemExit(
+                f"-spatial {n_model} needs a device count divisible by it "
+                f"(have {jax.device_count()})"
+            )
+        avail = jax.device_count() // n_model
+        n_data = opt.nGPU if opt.nGPU > 0 else avail
+        n_data = min(n_data, avail)
         # the reference's DataParallelTable scattered uneven chunks
         # (`scripts/cifar/rnmg.sh` runs batch 64 on 3 GPUs); XLA
         # shardings need the batch to divide, so clamp to the largest
         # divisor of batchSize
         while opt.batchSize % n_data:
             n_data -= 1
-        if n_data != min(opt.nGPU if opt.nGPU > 0 else n_data, jax.device_count()):
+        if n_data != min(opt.nGPU if opt.nGPU > 0 else n_data, avail):
             print(f"==> nGPU clamped to {n_data} (batchSize {opt.batchSize} "
                   f"must divide across the data mesh)")
-        self.mesh = make_mesh(n_data=n_data)
+        self.mesh = make_mesh(n_data=n_data, n_model=n_model)
+        self._spatial = n_model > 1
 
         key = jax.random.PRNGKey(opt.manualSeed)
         start = self.net.initial_state(opt, self.model) if hasattr(self.net, "initial_state") else None
@@ -102,7 +110,9 @@ class Session:
         self.eval_metrics_fn = jax.jit(
             lambda out, y: self.net.eval_metrics(out, y, self.loss_fn(out, y))
         )
-        self._shard = lambda tree, axis=0: shard_batch(self.mesh, tree, axis)
+        self._shard = lambda tree, axis=0: shard_batch(
+            self.mesh, tree, axis, spatial=self._spatial
+        )
         self._loggers: Dict[str, EpochLogger] = {}
 
     def logger(self, name: str) -> EpochLogger:

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax profiler trace of train iterations "
                         "2..9 of the first epoch into DIR (view with "
                         "tensorboard/xprof)")
+    p.add_argument("-spatial", type=int, default=1,
+                   help="shard input HEIGHT over this many devices (the "
+                        "'model' mesh axis) in addition to -nGPU data "
+                        "parallelism; XLA inserts the conv halo "
+                        "exchanges. Total devices = nGPU * spatial")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
     p.add_argument("-split", type=int, default=0,
                    help="ilsvrc: split a single directory-per-class tree "

@@ -109,6 +109,33 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # extra GSPMD compile; dryrun_multichip also covers DPxSP
+def test_spatial_matches_single_device():
+    """DP x SP: batch over 'data' AND input height over 'model'. GSPMD
+    inserts the conv/pool halo exchanges; the update must match the
+    unsharded step (same tolerance rationale as the DP test above)."""
+    net, model, params, stats, loss_fn, step = _setup()
+    jstep = jax.jit(step)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    y = jnp.arange(8, dtype=jnp.int32) % 100
+    opt_state = sgd_init(params)
+    p1, _, _, m1 = jstep(params, stats, opt_state, {"x": x, "y": y}, 0.1, 5e-4, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    pr = replicate(mesh, params)
+    sr = replicate(mesh, stats)
+    orp = replicate(mesh, opt_state)
+    batch = shard_batch(mesh, {"x": x, "y": y}, spatial=True)
+    assert not batch["x"].sharding.is_fully_replicated
+    with jax.set_mesh(mesh):
+        p2, _, _, m2 = jstep(pr, sr, orp, batch, 0.1, 5e-4, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    assert jax.tree.leaves(p2)[0].sharding.is_fully_replicated
+    a = np.asarray(jax.tree.leaves(p1)[0])
+    b = np.asarray(jax.tree.leaves(p2)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
 def test_grad_accumulation_iter_size():
     net, model, params, stats, loss_fn, _ = _setup()
     step1 = jax.jit(make_train_step(model, loss_fn, net, iter_size=1))
