@@ -109,6 +109,25 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+def test_constrain_spatial_spec_logic():
+    """Fine scales (>=8 rows/shard, aligned halos) get H sharded over
+    'model'; coarse scales are replicated over 'model'; no active mesh
+    means identity."""
+    from mgtpu.parallel.mesh import constrain_spatial
+
+    x32 = jnp.ones((2, 32, 32, 8))
+    assert constrain_spatial(x32) is x32  # no mesh -> untouched
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with jax.set_mesh(mesh):
+        f = jax.jit(lambda a, b: (constrain_spatial(a), constrain_spatial(b)))
+        y32, y2 = f(x32, jnp.ones((2, 2, 2, 8)))
+    spec32 = y32.sharding.spec
+    assert spec32[1] == "model", spec32  # 32 rows / 2 shards = 16 >= 8
+    spec2 = tuple(y2.sharding.spec)  # trailing Nones are trimmed
+    assert len(spec2) < 2 or spec2[1] is None, spec2  # 2-row: replicated
+
+
 @pytest.mark.slow  # extra GSPMD compile; dryrun_multichip also covers DPxSP
 def test_spatial_matches_single_device():
     """DP x SP: batch over 'data' AND input height over 'model'. GSPMD
