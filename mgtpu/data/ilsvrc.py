@@ -123,8 +123,15 @@ class FolderDataset:
             k = int(np.floor(len(members) * split_pct / 100 + 0.5))
             tr_idx.append(members[perm[:k]])
             te_idx.append(members[perm[k:]])
+        tr_all = np.concatenate(tr_idx)
+        if tr_all.size == 0:
+            raise ValueError(
+                f"-split {split_pct} rounded every class's train share "
+                "to zero — the balanced sampler would spin forever on an "
+                "empty train set; use a larger split or more images"
+            )
         return (
-            self.subset(np.concatenate(tr_idx), self.hook),
+            self.subset(tr_all, self.hook),
             self.subset(np.concatenate(te_idx), test_hook),
         )
 

@@ -160,7 +160,15 @@ def _bn_axes_n(x):
 def _bn_train_fwd(x, scale, bias, eps):
     """One-pass batch moments (E[x^2] - E[x]^2, fp32 accumulation — the
     cuDNN-style single read XLA multi-output-fuses) + affine normalize.
-    Returns ((y, mean, var), residuals)."""
+    Returns ((y, mean, var), residuals).
+
+    Precision contract: the one-pass formula cancels catastrophically
+    when |mean| >> sigma (fp32 loses the variance once mean^2/var
+    approaches 1/ulp ~ 1e7). Every BatchNorm in this zoo normalizes a
+    convolution's output, whose statistics are O(1), so the fused
+    single read is the right trade; a model that batch-norms raw
+    wide-range input should normalize its data instead (or set
+    MGTPU_BN_NAIVE=1 for the two-pass formulation)."""
     xf = x.astype(jnp.float32)
     axes, n = _bn_axes_n(x)
     mean = jnp.mean(xf, axis=axes)

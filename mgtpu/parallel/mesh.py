@@ -56,7 +56,11 @@ def shard_batch(mesh: Mesh, tree, batch_axis: int = 0, spatial: bool = False):
         spec = [None] * max(x.ndim, batch_axis + 1)
         spec[batch_axis] = "data"
         if spatial and mesh.shape["model"] > 1 and x.ndim >= batch_axis + 4:
-            spec[batch_axis + 1] = "model"
+            # height = third-from-last of the trailing (H, W, C) — robust
+            # to leading iter-size and ten-crop axes ((iter,B,H,W,C) and
+            # (B,10,H,W,C) both resolve to the true H, where
+            # batch_axis+1 would hit the crop axis of ten-crop batches)
+            spec[x.ndim - 3] = "model"
         return jax.device_put(x, NamedSharding(mesh, P(*spec[: x.ndim])))
 
     return jax.tree.map(put, tree)

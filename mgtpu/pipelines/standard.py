@@ -171,10 +171,13 @@ def train(sess: Session):
     # donkey queue gave it the same overlap, `train.lua:184-199`.)
     pending = None  # (it, device metrics, dispatch timestamp, data_t)
 
-    def flush(p):
+    def flush(p, overlap=0.0):
+        """overlap = host time spent fetching the NEXT batch between this
+        step's dispatch and now; subtracted so Run: reports the step's
+        own dispatch-to-done wall, not double-counting the next Data:."""
         p_it, p_metrics, p_t0, p_data_t = p
         vals = jax.tree.map(float, p_metrics)  # blocks until step done
-        run_t = time.time() - p_t0
+        run_t = max(time.time() - p_t0 - overlap, 0.0)
         _acc_update(acc, vals, n)
         print(
             f"{now()} Epoch: [{sess.epoch}][{p_it + 1}/{opt.epochSize}]\t"
@@ -195,9 +198,14 @@ def train(sess: Session):
                 sess.params, sess.stats, sess.opt_state, batch, lr, wd, sub
             )
             if pending is not None:
-                flush(pending)
+                flush(pending, overlap=data_t)
             pending = (it, metrics, t_run, data_t)
             if prof_live and it >= 8:
+                # flush (= block on) the just-dispatched step first so
+                # the capture contains it completely; stop_trace while
+                # it is mid-flight would truncate the final step
+                flush(pending)
+                pending = None
                 jax.profiler.stop_trace()
                 prof_live = False
                 prof_dir = ""

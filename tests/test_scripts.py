@@ -50,11 +50,16 @@ def test_recipe_parses_and_resolves(path, tmp_path, monkeypatch):
 
 
 def test_all_fourteen_recipes_present():
-    names = {os.path.basename(p) for p in SCRIPTS}
-    expected = {
-        "nmg.sh", "pnmg.sh", "rnmg.sh", "prnmg.sh", "resnet.sh", "vgg.sh",
-        "rnmg.sh", "prnmgseg.sh",
-        "unet.sh", "unmg.sh", "pnmg.mnist.sh", "prnmg.mnist.sh",
-        "mnist-test.sh", "mnist-saliency.sh",
+    names = {
+        os.path.join(os.path.basename(os.path.dirname(p)), os.path.basename(p))
+        for p in SCRIPTS
     }
-    assert expected <= names, expected - names
+    expected = {
+        "cifar/nmg.sh", "cifar/pnmg.sh", "cifar/rnmg.sh", "cifar/prnmg.sh",
+        "cifar/resnet.sh", "cifar/vgg.sh",
+        "ilsvrc/rnmg.sh", "ilsvrc/prnmgseg.sh",
+        "mnist-cluttered/unet.sh", "mnist-cluttered/unmg.sh",
+        "mnist-cluttered/pnmg.mnist.sh", "mnist-cluttered/prnmg.mnist.sh",
+        "mnist-cluttered/mnist-test.sh", "mnist-cluttered/mnist-saliency.sh",
+    }
+    assert len(expected) == 14 and expected <= names, expected - names

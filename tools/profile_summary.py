@@ -72,11 +72,11 @@ def main():
     by_op = collections.Counter()
     total = 0.0
     for ev in device_events(trace):
-        dur = float(ev.get("dur", 0.0))  # microseconds
-        cat = (ev.get("args") or {}).get("hlo_category") or "(uncategorized)"
         # XLA Ops rows carry hlo_category; name-scope rows double-count
-        if (ev.get("args") or {}).get("hlo_category") is None:
+        cat = (ev.get("args") or {}).get("hlo_category")
+        if cat is None:
             continue
+        dur = float(ev.get("dur", 0.0))  # microseconds
         by_cat[cat] += dur
         by_op[ev.get("name", "?")] += dur
         total += dur
