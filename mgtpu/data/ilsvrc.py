@@ -124,15 +124,22 @@ class FolderDataset:
             tr_idx.append(members[perm[:k]])
             te_idx.append(members[perm[k:]])
         tr_all = np.concatenate(tr_idx)
+        te_all = np.concatenate(te_idx)
         if tr_all.size == 0:
             raise ValueError(
                 f"-split {split_pct} rounded every class's train share "
                 "to zero — the balanced sampler would spin forever on an "
                 "empty train set; use a larger split or more images"
             )
+        if te_all.size == 0:
+            print(
+                f"WARNING: -split {split_pct} left the TEST split empty "
+                "(every class's images rounded to train); -test will "
+                "measure nothing"
+            )
         return (
             self.subset(tr_all, self.hook),
-            self.subset(np.concatenate(te_idx), test_hook),
+            self.subset(te_all, test_hook),
         )
 
     def sample(self, quantity: int, rng: np.random.Generator):

@@ -43,8 +43,8 @@ def shard_batch(mesh: Mesh, tree, batch_axis: int = 0, spatial: bool = False):
 
     With ``spatial=True`` (the CNN analog of sequence parallelism —
     SURVEY §5 reserves the 'model' axis for exactly this), image-shaped
-    leaves additionally split their HEIGHT dim (batch_axis+1) over the
-    'model' axis. XLA's GSPMD partitioner then inserts the halo
+    leaves additionally split their HEIGHT dim — the third-from-last
+    axis of the trailing (H, W, C) — over the 'model' axis. XLA's GSPMD partitioner then inserts the halo
     exchanges the 3x3 convs and 2x2 pools need at shard boundaries —
     the same compiler mechanism that inserts the gradient psum for the
     'data' axis, so no hand-written collectives appear here either.

@@ -172,12 +172,19 @@ def train(sess: Session):
     pending = None  # (it, device metrics, dispatch timestamp, data_t)
 
     def flush(p, overlap=0.0):
-        """overlap = host time spent fetching the NEXT batch between this
-        step's dispatch and now; subtracted so Run: reports the step's
-        own dispatch-to-done wall, not double-counting the next Data:."""
+        """Run: = this step's dispatch-to-done wall. If fetching the
+        metrics actually blocked, the step was still running — the host
+        work since dispatch (next batch fetch) overlapped it and added
+        nothing, so the full elapsed time IS the step wall. If the fetch
+        returned immediately, the step finished during that host work,
+        so the overlap is subtracted rather than double-counted against
+        the next line's Data:."""
         p_it, p_metrics, p_t0, p_data_t = p
+        t_block = time.time()
         vals = jax.tree.map(float, p_metrics)  # blocks until step done
-        run_t = max(time.time() - p_t0 - overlap, 0.0)
+        t_done = time.time()
+        stepped = (t_done - t_block) > 1e-3  # we genuinely waited
+        run_t = max(t_done - p_t0 - (0.0 if stepped else overlap), 0.0)
         _acc_update(acc, vals, n)
         print(
             f"{now()} Epoch: [{sess.epoch}][{p_it + 1}/{opt.epochSize}]\t"
@@ -239,6 +246,9 @@ def _eval_loop(sess: Session, mode: str):
         )
     loader = sess.loaders[split]
     n_total = loader.size()
+    if n_total == 0:
+        print(f"WARNING: {split} split is empty — skipping {mode}()")
+        return {}
     step = sess.test_step if mode == "test" else sess.eval_step
     print(f"==> doing epoch on {mode} data:")
     print(f"==> online epoch # {sess.epoch}")
