@@ -109,6 +109,29 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+def test_shard_batch_spatial_spec_layouts():
+    """Height = third-from-last of the trailing (H,W,C): plain, iter-
+    size, and ten-crop batches all shard their true H over 'model';
+    labels stay batch-sharded only."""
+    def spec(arr, n):  # normalized to rank n (trailing Nones explicit)
+        s = tuple(arr.sharding.spec)
+        return s + (None,) * (n - len(s))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    plain = shard_batch(mesh, {"x": jnp.ones((8, 32, 32, 3)),
+                               "y": jnp.ones((8,), jnp.int32)}, spatial=True)
+    assert spec(plain["x"], 4) == ("data", "model", None, None)
+    assert spec(plain["y"], 1) == ("data",)
+    it = shard_batch(mesh, {"x": jnp.ones((2, 8, 32, 32, 3)),
+                            "y": jnp.ones((2, 8), jnp.int32)},
+                     batch_axis=1, spatial=True)
+    assert spec(it["x"], 5) == (None, "data", "model", None, None)
+    ten = shard_batch(mesh, {"x": jnp.ones((8, 10, 32, 32, 3)),
+                             "y": jnp.ones((8,), jnp.int32)}, spatial=True)
+    # crop axis (size 10) must NOT be sharded; H is
+    assert spec(ten["x"], 5) == ("data", None, "model", None, None)
+
+
 def test_constrain_spatial_spec_logic():
     """Fine scales (>=8 rows/shard, aligned halos) get H sharded over
     'model'; coarse scales are replicated over 'model'; no active mesh
