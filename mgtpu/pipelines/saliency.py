@@ -68,10 +68,19 @@ def saliency_map(outputs: np.ndarray, points: np.ndarray, mask: np.ndarray,
     diff = np.abs(outputs[1:] - ori[None])  # (N, H, W, C)
     n = diff.shape[0]
     p = points.shape[0]
-    d = diff.reshape(n, -1, diff.shape[-1])
-    pt = points.reshape(p, -1, 1)
-    # (N, P): max over pixels/channels of diff * point mask
-    impact = np.max(d[:, None] * pt[None], axis=(2, 3))
+    # (N, P): max over pixels/channels of diff * point mask. Probe masks
+    # are tiny (2dp+1)^2 boxes, so slice each mask's bounding box
+    # instead of broadcasting an (N, P, H*W, C) product (~92 MB/sample
+    # at N=841): identical result — diff >= 0 and the mask is 0 outside
+    # the box, so the masked max over the box equals the full-grid max.
+    impact = np.zeros((n, p), np.float32)
+    for j in range(p):
+        ys, xs = np.nonzero(points[j, :, :, 0])
+        if ys.size == 0:
+            continue
+        sub = (diff[:, ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+               * points[j, ys.min():ys.max() + 1, xs.min():xs.max() + 1])
+        impact[:, j] = sub.reshape(n, -1).max(1)
     keep = (impact >= threshold).astype(np.float32) * impact  # (N, P)
     sal = np.einsum("np,nhwk->phwk", keep, mask)
     return sal.astype(np.float32)
