@@ -177,6 +177,8 @@ class ClutterGenerator:
                     # position.lua:overlap_constraint` stops at 10 tries)
                     # instead of looping forever
                     y, x = sample_position("uniform", obs, rs, cfg.border, rng)
+                if y is None:  # sprite larger than the canvas: skip it
+                    continue
                 _place(obs, rs, y, x)
                 _place(target[:, :, cls], rs, y, x)
             target = (target >= cfg.threshold).astype(np.float32)
@@ -204,6 +206,11 @@ class ClutterGenerator:
                     )
                 _place(obs, rs, y, x)
                 gy, gx = sample_position("center", target, ground_truth, cfg.border, rng)
+                if gy is None:
+                    raise ValueError(
+                        f"centered target cannot fit: canvas {w}px, "
+                        f"border {cfg.border}, digit {ground_truth.shape}"
+                    )
                 _place(target, ground_truth, gy, gx)
             target = (target >= cfg.threshold).astype(np.float32)
             return obs[:, :, None], target[:, :, None]

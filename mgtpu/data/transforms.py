@@ -88,6 +88,11 @@ def scale(size: int, interpolation: str = "bicubic") -> Transform:
 def center_crop(size: int) -> Transform:
     def f(img, rng):
         h, w = img.shape[:2]
+        if h < size or w < size:
+            # a negative offset would wrap to a from-the-end slice and
+            # return a silently wrong-shaped crop; fail at the cause
+            # (use center_crop_pad for the reference's zero-pad hook)
+            raise ValueError(f"center_crop({size}) on a {h}x{w} image")
         w1 = int(math.ceil((w - size) / 2))
         h1 = int(math.ceil((h - size) / 2))
         return img[h1 : h1 + size, w1 : w1 + size]
@@ -148,6 +153,8 @@ def ten_crop(size: int) -> Transform:
 
     def f(img, rng):
         h, w = img.shape[:2]
+        if h < size or w < size:
+            raise ValueError(f"ten_crop({size}) on a {h}x{w} image")
         out = []
         for im in (img, img[:, ::-1]):
             out.append(cc(im, rng))

@@ -418,7 +418,8 @@ class ConvBN:
             if (exact2x and self.k == 3 and self.conv.stride == 1
                     and self.conv.pad == 1):
                 yy = _conv_up3(xp, ws, oh, ow)
-            elif kind == "up" and self.k == 1 and self.conv.stride == 1:
+            elif (kind == "up" and self.k == 1 and self.conv.stride == 1
+                    and self.conv.pad == 0):
                 yy = jax.lax.conv_general_dilated(
                     xp, ws, (1, 1), [(0, 0), (0, 0)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),

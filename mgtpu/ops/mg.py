@@ -27,7 +27,10 @@ from mgtpu.parallel.mesh import constrain_pyramid
 
 # MGTPU_NO_FUSED_EXCHANGE=1 forces the materialized resample-concat
 # formulation everywhere — used by tools/model_info.py to count the
-# reference-formulation MACs, and handy for numerics bisection
+# reference-formulation MACs, and handy for numerics bisection.
+# Read at IMPORT time by design: ops capture fuse_exchange when they
+# are constructed, so the var must be set before importing/building a
+# model (e.g. via a subprocess env, as model_info.py does).
 _NO_FUSE = bool(os.environ.get("MGTPU_NO_FUSED_EXCHANGE"))
 
 Pyramid = tuple
@@ -376,7 +379,7 @@ class MgResidual:
                     p[name][str(i)], s[name][str(i)], parts, train=train
                 )
                 out.append(y)
-            return tuple(out), new_s
+            return constrain_pyramid(out), new_s
         mixed = resample_concat(pyr)
         for i, layer in enumerate(layers):
             xi = mixed[i]
@@ -478,7 +481,11 @@ class MgUpConv:
 @dataclass
 class PerScale:
     """Apply the i-th layer to the i-th scale (None = identity). Used for
-    the pyramid-prefix plumbing in P-* models (`pnmg.lua:177-228`)."""
+    the pyramid-prefix plumbing in P-* models (`pnmg.lua:177-228`).
+
+    Unlike the block ops, PerScale is pure plumbing and does not expose
+    ``out_widths`` — its per-scale widths are whatever its layers
+    produce; callers (models/common.py) track them in their plans."""
 
     layers: list
 
