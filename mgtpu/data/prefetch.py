@@ -82,12 +82,19 @@ def _picklable_opt_state(opt) -> dict:
     import pickle
 
     state = {}
+    dropped = []
     for k, v in vars(opt).items():
         try:
             pickle.dumps(v)
         except Exception:
+            dropped.append(k)
             continue
         state[k] = v
+    if dropped:
+        print(
+            f"WARNING: -donkeyMode process drops unpicklable opt attrs "
+            f"{dropped}; workers rebuild loaders without them"
+        )
     return state
 
 

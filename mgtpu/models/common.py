@@ -46,7 +46,9 @@ class LogSoftmaxClassifier:
             x = avgpool(x, self.pool, 1)
         x = x.reshape(x.shape[0], -1)
         y, s = self.dense.apply(p, s, x, train=train)
-        return jax.nn.log_softmax(y, axis=-1), s
+        # log-probs in f32: bf16 mantissa loses confident log-probs and
+        # the NLL batch mean (same rationale as SigmoidHead/ten-crop)
+        return jax.nn.log_softmax(y.astype(jnp.float32), axis=-1), s
 
 
 @dataclass
@@ -149,7 +151,9 @@ class FlatClassifier:
     def apply(self, p, s, x, *, train=False, rng=None):
         x = x.reshape(x.shape[0], -1)
         y, s = self.dense.apply(p, s, x, train=train)
-        return jax.nn.log_softmax(y, axis=-1), s
+        # log-probs in f32: bf16 mantissa loses confident log-probs and
+        # the NLL batch mean (same rationale as SigmoidHead/ten-crop)
+        return jax.nn.log_softmax(y.astype(jnp.float32), axis=-1), s
 
 
 class MgNet:
@@ -248,7 +252,7 @@ def build_pyramid_prefix(
     input pyramid, first process only the coarsest grid (plain conv or
     resConv), then mg-conv over the 2 coarsest, ... then all grids, each
     stage n_layer deep, finer grids passing through untouched."""
-    from mgtpu.ops.mg import MgConvInput, MgConv, MgResidual, PerScale, TailOp
+    from mgtpu.ops.mg import PerScale, TailOp
 
     n = len(widths)
     layers = [MgConvInput(widths, c_in=c_in, eps=eps, dtype=dtype)]

@@ -106,6 +106,15 @@ def run(sess) -> None:
     k = max(int(getattr(opt, "saliencyBatch", 4)), 1)
     k = min(k, max(n_test, 1))
     fwd = jax.jit(lambda p, s, x: sess.model.apply(p, s, x, train=False)[0])
+    # shard the k*842 stack over the data mesh when it divides (842 is
+    # even, so k*842 divides any power-of-two mesh for even k); params
+    # are already replicated by the Session — without this the forward
+    # would run fully replicated on every chip
+    mesh = getattr(sess, "mesh", None)  # None under the test harness
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    # (on a 1-device mesh the explicit device_put costs ~20% measured
+    # vs the async jnp.asarray path, for nothing — shard only when >1)
+    shardable = n_data > 1 and (k * (1 + mask.shape[0])) % n_data == 0
 
     path = os.path.join(opt.save, "testOutput.h5")
     os.makedirs(opt.save, exist_ok=True)
@@ -122,9 +131,21 @@ def run(sess) -> None:
         n_valid = len(items)
         items = items + [items[-1]] * (k - n_valid)
         stacks = np.stack([s for _, s in items])  # (k, 842, H, W, 1)
-        flat = jnp.asarray(stacks.reshape((-1,) + stacks.shape[2:]))
-        out = fwd(sess.params, sess.stats, flat)  # async dispatch
-        return [i for i, _ in items[:n_valid]], stacks, out, n_valid
+        flat = stacks.reshape((-1,) + stacks.shape[2:])
+        if shardable:
+            flat = sess._shard({"x": flat})["x"]
+        else:
+            flat = jnp.asarray(flat)
+        if mesh is not None:
+            with jax.set_mesh(mesh):
+                out = fwd(sess.params, sess.stats, flat)  # async dispatch
+        else:
+            out = fwd(sess.params, sess.stats, flat)
+        # keep only each sample's un-occluded input for the h5 dump —
+        # retaining the full (k, 842, H, W, 1) host stack would hold
+        # ~55 MB per double-buffered group for a 65 KB need
+        inputs0 = stacks[:, 0].copy()
+        return [i for i, _ in items[:n_valid]], inputs0, out, n_valid
 
     def groups():
         buf = []
@@ -141,7 +162,7 @@ def run(sess) -> None:
     with h5py.File(path, "w") as f:
 
         def consume(group):
-            inds, stacks, out, n_valid = group
+            inds, inputs0, out, n_valid = group
             out_np = np.asarray(out)  # (k*842, Ho, Wo, Co)
             outs = out_np.reshape((k, -1) + out_np.shape[1:])
             for j, ind in enumerate(inds):
@@ -154,7 +175,7 @@ def run(sess) -> None:
                 print(gid)
                 f.create_dataset(f"{gid}/points", data=points)
                 f.create_dataset(f"{gid}/saliency", data=sal)
-                f.create_dataset(f"{gid}/input", data=stacks[j, 0])
+                f.create_dataset(f"{gid}/input", data=inputs0[j])
                 f.create_dataset(f"{gid}/output", data=outputs)
 
         pending = None

@@ -143,6 +143,12 @@ def train(sess: Session):
     lr, wd = params["lr"], params["wd"]
     print("==> doing epoch on training data:")
     print(f"==> online epoch # {sess.epoch}")
+    if getattr(opt, "resetMomentum", False):
+        # the reference rebuilt optimState each epoch, dropping momentum
+        # (`pipelines/standard/train.lua:48-55`) — opt-in reproduction
+        from mgtpu.train.optim import reset_momentum
+
+        sess.opt_state = reset_momentum(sess.opt_state)
 
     seed0 = opt.manualSeed * 1_000_003 + sess.epoch * opt.epochSize * opt.iterSize
 

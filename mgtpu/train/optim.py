@@ -35,5 +35,6 @@ def sgd_update(params, grads, state, lr, wd, momentum: float = 0.9):
 
 
 def reset_momentum(state):
-    """Reproduce the reference's per-epoch optimState rebuild."""
+    """Reproduce the reference's per-epoch optimState rebuild —
+    reachable from the CLI via -resetMomentum (standard.py:train)."""
     return {"m": jax.tree.map(jnp.zeros_like, state["m"])}

@@ -47,7 +47,11 @@ def _encode(tree, arrays: list):
     if tree is None:
         return None
     if isinstance(tree, dict):
-        return {"t": "d", "k": {str(k): _encode(v, arrays) for k, v in tree.items()}}
+        for k in tree:
+            # keys round-trip as strings; a non-str key would save fine
+            # but load as a DIFFERENT tree (silent structure corruption)
+            assert isinstance(k, str), f"checkpoint dict keys must be str, got {k!r}"
+        return {"t": "d", "k": {k: _encode(v, arrays) for k, v in tree.items()}}
     if isinstance(tree, (list, tuple)):
         return {
             "t": "l" if isinstance(tree, list) else "u",

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")
     p.add_argument("-synthSize", type=int, default=2000, help="synthetic dataset size")
+    p.add_argument("-resetMomentum", action="store_true",
+                   help="zero SGD momentum at each epoch start — the "
+                        "reference rebuilt optimState every epoch "
+                        "(train.lua:48-55); default keeps momentum "
+                        "(documented improvement)")
     p.add_argument("-remat", action="store_true",
                    help="rematerialize activations in the backward pass "
                         "(jax.checkpoint): slower, fits larger batches")
