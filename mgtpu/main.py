@@ -49,16 +49,20 @@ def main(argv=None):
 
     sess = Session(opt)
 
-    if opt.pipeline == "saliency":
-        from mgtpu.pipelines import saliency
+    # shutdown in finally: an exception mid-run must not leave process-
+    # mode donkey workers alive
+    try:
+        if opt.pipeline == "saliency":
+            from mgtpu.pipelines import saliency
 
-        sess.epoch = 1
-        saliency.run(sess)
-    else:
-        from mgtpu.pipelines import standard
+            sess.epoch = 1
+            saliency.run(sess)
+        else:
+            from mgtpu.pipelines import standard
 
-        standard.run(sess)
-    sess.pool.shutdown()
+            standard.run(sess)
+    finally:
+        sess.pool.shutdown()
 
 
 if __name__ == "__main__":

@@ -24,8 +24,6 @@ class Session:
     DONKEYS/trainLoader/... — `main.lua:21-27`) with one object."""
 
     def __init__(self, opt):
-        import jax
-
         from mgtpu.data import get_loaders
         from mgtpu.data.prefetch import DonkeyPool
         from mgtpu.models import get_net
@@ -46,15 +44,15 @@ class Session:
                 f"(have {jax.device_count()})"
             )
         avail = jax.device_count() // n_model
-        n_data = opt.nGPU if opt.nGPU > 0 else avail
-        n_data = min(n_data, avail)
+        requested = min(opt.nGPU if opt.nGPU > 0 else avail, avail)
+        n_data = requested
         # the reference's DataParallelTable scattered uneven chunks
         # (`scripts/cifar/rnmg.sh` runs batch 64 on 3 GPUs); XLA
         # shardings need the batch to divide, so clamp to the largest
         # divisor of batchSize
         while opt.batchSize % n_data:
             n_data -= 1
-        if n_data != min(opt.nGPU if opt.nGPU > 0 else n_data, avail):
+        if n_data != requested:
             print(f"==> nGPU clamped to {n_data} (batchSize {opt.batchSize} "
                   f"must divide across the data mesh)")
         self.mesh = make_mesh(n_data=n_data, n_model=n_model)
@@ -267,14 +265,21 @@ def _eval_loop(sess: Session, mode: str):
             i = i2 + 1
 
     metrics_fn = sess.test_metrics_fn if mode == "test" else sess.eval_metrics_fn
+    # stored-output dumps only happen in test mode (`test.lua:63-89`);
+    # eval must not pile the split's outputs up in host RAM — and when
+    # nothing is stored, skip the device->host output transfer entirely
+    collect = mode == "test"
     acc: Dict[str, tuple] = {}
     stored: Dict[str, list] = {}
     t0 = time.time()
     with jax.set_mesh(sess.mesh):
         for x, y in sess.pool.imap_specs(specs()):
             n = x.shape[0]
-            pad = (-n) % sess.mesh.shape["data"]
-            if pad:  # pad the ragged tail batch; metrics on the true slice
+            # pad the ragged tail to the FULL batch shape: a merely
+            # divisible tail would be a second input shape and recompile
+            # the whole eval step (minutes for the ImageNet models)
+            pad = opt.batchSize - n
+            if pad:  # metrics recomputed on the true slice below
                 xp = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
                 yp = np.concatenate([y, np.repeat(y[-1:], pad, 0)])
             else:
@@ -284,11 +289,12 @@ def _eval_loop(sess: Session, mode: str):
             if pad:
                 out = jnp.asarray(out)[:n]
                 metrics = metrics_fn(out, jnp.asarray(y))
-            out_t = np.asarray(out)
             mvals = {k: float(v) for k, v in metrics.items()}
             _acc_update(acc, mvals, n)
-            for k, v in sess.net.stored_outputs(out_t).items():
-                stored.setdefault(k, []).append(np.asarray(v))
+            if collect:
+                out_t = np.asarray(out)
+                for k, v in sess.net.stored_outputs(out_t).items():
+                    stored.setdefault(k, []).append(np.asarray(v))
 
     means = _acc_mean(acc)
     label = "TESTING" if mode == "test" else "EVALUATION"

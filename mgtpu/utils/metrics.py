@@ -32,7 +32,12 @@ def mnist_iu(probs, targets, threshold: float = 0.5):
     # classes present per sample: any over spatial dims, sum over channel
     spatial = tuple(range(1, t.ndim - 1))
     n_class = jnp.sum(jnp.any(t == 1, axis=spatial), axis=-1).astype(jnp.float32)
-    return jnp.mean(iu / jnp.maximum(n_class, 1.0))
+    # samples with an all-empty target carry no IU signal: excluding
+    # them (instead of scoring 0) keeps the mean over scorable samples
+    # (unreachable with the shipped generator — >=1 digit per sample)
+    has = (n_class > 0).astype(jnp.float32)
+    per_sample = jnp.where(n_class > 0, iu / jnp.maximum(n_class, 1.0), 0.0)
+    return jnp.sum(per_sample) / jnp.maximum(jnp.sum(has), 1.0)
 
 
 def seg_mean_iu_mean_acc(probs, targets, threshold: float = 0.5):

@@ -104,6 +104,8 @@ def parse(argv: Optional[Sequence[str]] = None):
     for i, a in enumerate(argv):
         if a == "-netType" and i + 1 < len(argv):
             net_type = argv[i + 1]
+        elif a.startswith("-netType="):  # argparse's '=' form
+            net_type = a.split("=", 1)[1]
     if net_type:
         from mgtpu.models import get_net
 
@@ -129,8 +131,10 @@ def parse(argv: Optional[Sequence[str]] = None):
             parts.append(f"{k}={v}")
     flag_str = ",".join(parts) if parts else "default"
     # dots instead of the reference's ':' (opts.lua:87 os.date) — ':'
-    # in paths breaks NTFS clones and scp
+    # in paths breaks NTFS clones and scp; a sub-second suffix keeps
+    # same-second launches (parallel sweeps) from sharing a run dir
     stamp = time.strftime("%a%b%d%H.%M.%S%Y").replace(" ", "")
+    stamp += f".{int(time.time() * 1e6) % 1_000_000:06d}"
     opt.save = os.path.join(opt.cache, opt.dataset, opt.netType.replace("/", "_"),
                             flag_str, stamp)
     return opt
