@@ -68,6 +68,8 @@ class ClassBalancedDataset:
 
     def get(self, i1: int, i2: int, rng=None):
         rng = rng or np.random.default_rng(0)
+        if i1 < 1:  # 0 would wrap to images[-1] and misalign the batch
+            raise ValueError(f"get() indices are 1-based, got i1={i1}")
         idx = range(i1 - 1, i2)  # reference slices are 1-based inclusive
         xs = [_apply_hook(self.test_hook, self.images[i], rng) for i in idx]
         ys = [self.labels[i] for i in idx]

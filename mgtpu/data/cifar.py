@@ -112,9 +112,12 @@ def _resolve_cifar_source(opt, name: str, whitened: bool):
         trd, ted = _chw_flat_to_hwc(trd), _chw_flat_to_hwc(ted)
     if trl.min() >= 1:  # torch 1-based labels
         trl, tel = trl - 1, tel - 1
-    return (trd.astype(np.float32), trl.astype(np.int32)), (
-        ted.astype(np.float32),
-        tel.astype(np.int32),
+    # copy=False: the arrays are usually float32/int32 already — a
+    # copying astype would transiently duplicate the whole train set
+    # per process (~600 MB for real CIFAR under -donkeyMode process)
+    return (trd.astype(np.float32, copy=False), trl.astype(np.int32, copy=False)), (
+        ted.astype(np.float32, copy=False),
+        tel.astype(np.int32, copy=False),
     ), n_classes
 
 

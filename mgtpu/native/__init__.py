@@ -29,15 +29,28 @@ _f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
+    # compile to a unique temp path then atomically rename: a killed or
+    # concurrent build must never leave a partial .so at _LIB (which
+    # would look fresh and silently disable the native path forever)
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _LIB, _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        os.replace(tmp, _LIB)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():
@@ -52,7 +65,15 @@ def _load():
             )
             if stale and not _build():
                 return None
-            lib = ctypes.CDLL(_LIB)
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                # corrupt .so from an interrupted historical build:
+                # rebuild once before giving up
+                os.remove(_LIB)
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB)
             lib.mg_version.restype = ctypes.c_int
             if lib.mg_version() != 1:
                 return None
@@ -128,6 +149,11 @@ def crop_flip_normalize(
         raise ValueError(f"crop ({y1},{x1})+{size} exceeds image {h}x{w}")
     if out is None:
         out = np.empty((size, size, c), np.float32)
+    elif out.shape != (size, size, c) or out.dtype != np.float32:
+        # ndpointer checks dtype/contiguity only — a wrong-shaped out
+        # would let the native write run past the buffer
+        raise ValueError(f"out must be ({size},{size},{c}) f32, got "
+                         f"{out.shape} {out.dtype}")
     mean = np.ascontiguousarray(np.broadcast_to(mean, (c,)), np.float32)
     std = np.ascontiguousarray(np.broadcast_to(std, (c,)), np.float32)
     lib.mg_crop_flip_normalize(img, h, w, c, out, y1, x1, size, int(flip), mean, std)

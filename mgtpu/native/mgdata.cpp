@@ -9,8 +9,10 @@
 // remains the behavioural fallback; tests pin the two paths together.
 //
 // All images are HWC float32, C-contiguous (the TPU-native layout the
-// rest of mgtpu uses). Every function is thread-safe and allocation-
-// free so donkey workers can call in parallel without the GIL.
+// rest of mgtpu uses). Every function is thread-safe and touches only
+// locals / its own heap scratch (mg_resize allocates axis-weight
+// tables and a tmp plane per call), so donkey workers can call in
+// parallel without the GIL.
 
 #include <algorithm>
 #include <cmath>

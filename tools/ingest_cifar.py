@@ -52,6 +52,13 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    if args.whiten and args.dataset != "cifar100":
+        raise SystemExit(
+            "--whiten is only consumed by -dataset cifar100-whitened, "
+            "which loads cifar100_whitened.npz; a whitened "
+            f"{args.dataset} blob would never be read by any runtime "
+            "path (mgtpu/data/cifar.py)"
+        )
     (trd, trl), (ted, tel) = load_cifar(args.root, args.dataset)
     out = args.out or (
         f"{args.dataset}_whitened.npz" if args.whiten else f"{args.dataset}.npz"
@@ -60,8 +67,16 @@ def main():
         tr = gcn(trd)
         te = gcn(ted)
         mean, w = zca_fit(tr)
-        trd = ((tr - mean) @ w).astype(np.float32)
-        ted = ((te - mean) @ w).astype(np.float32)
+        from mgtpu import native
+
+        if native.available():  # C++ blocked matmul; parity-pinned
+            trd = native.whiten(np.ascontiguousarray(tr, np.float32),
+                                mean, w)
+            ted = native.whiten(np.ascontiguousarray(te, np.float32),
+                                mean, w)
+        else:
+            trd = ((tr - mean) @ w).astype(np.float32)
+            ted = ((te - mean) @ w).astype(np.float32)
     np.savez_compressed(
         out,
         train_data=trd.astype(np.float32),

@@ -48,7 +48,8 @@ def count_macs(jaxpr) -> int:
             n_out = 1
             for s in out:
                 n_out *= s
-            macs += n_out * taps // eqn.params.get("feature_group_count", 1)
+            # rhs's in_f dim is already C_in/groups — no further division
+            macs += n_out * taps
         elif prim in ("dot_general",):
             out = eqn.outvars[0].aval.shape
             lhs = eqn.invars[0].aval.shape
@@ -98,7 +99,8 @@ def main():
     ap.add_argument("-netType", default=None)
     ap.add_argument("-nLayer", type=int, default=None)
     ap.add_argument("-depth", type=int, default=None)
-    ap.add_argument("-shortcutType", default="A")
+    ap.add_argument("-shortcutType", default="B",
+                    help="matches ilsvrc/prnmgseg's training default")
     ap.add_argument("-imageCrop", type=int, default=32)
     ap.add_argument("--all-cifar", action="store_true")
     args = ap.parse_args()
