@@ -43,7 +43,7 @@ def build(n_layer, n_classes, dropouts=None, dtype=None, residual=False):
                         MgConv(widths, ws, ks, eps=eps, dropout=dr, dropout_pos="before", dtype=dtype)
                     )
                 widths = list(ws)
-        widths = list(ws)
+        widths = list(ws)  # prefix branch: widths chain to this block's plan
         pool = MgPool(widths, "concat" if ks[-1] == 1 else "plain")
         layers.append(pool)
         widths = pool.out_widths

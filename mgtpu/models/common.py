@@ -33,6 +33,7 @@ class LogSoftmaxClassifier:
     n_classes: int
     pool: int = 0  # 0 = none (spatial already 1x1)
     dtype: Optional[object] = None
+    scale: int = 0  # which pyramid scale feeds the head (-1 = coarsest)
 
     def __post_init__(self):
         self.dense = Dense(self.c_in, self.n_classes, dtype=self.dtype)
@@ -41,7 +42,7 @@ class LogSoftmaxClassifier:
         return self.dense.init(key)
 
     def apply(self, p, s, pyr, *, train=False, rng=None):
-        x = pyr[0]
+        x = pyr[self.scale]
         if self.pool:
             x = avgpool(x, self.pool, 1)
         x = x.reshape(x.shape[0], -1)
@@ -93,6 +94,11 @@ class ResBlock:
     dropout: float = 0.0
     eps: float = 1e-5
     dtype: Optional[object] = None
+    # "" = legacy (1x1 ConvBN only when narrowing, zero-pad widen,
+    # identity otherwise — resnet.lua:17-24 / prnmg.lua:102-120);
+    # "C" = 1x1 ConvBN shortcut ALWAYS (the reference passes
+    # shortcutType into the prefix resConv, `prnmgseg.lua:318`)
+    shortcut_type: str = ""
 
     def __post_init__(self):
         self.conv1 = ConvBN(
@@ -105,7 +111,7 @@ class ResBlock:
         )
         self.shortcut = (
             ConvBN(self.c_in, self.c_out, 1, relu=False, eps=self.eps, dtype=self.dtype)
-            if self.c_in > self.c_out
+            if (self.c_in > self.c_out or self.shortcut_type == "C")
             else None
         )
 

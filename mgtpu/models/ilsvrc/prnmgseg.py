@@ -16,15 +16,9 @@ passing shortcutType through."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Optional
-
-import jax
-
 from mgtpu.models.base import NetSpec, imagenet_rule, nll_loss
 from mgtpu.models.common import LogSoftmaxClassifier, MgNet, ResBlock
 from mgtpu.ops.mg import MgResidual, MgStem7x7, PerScale, TailOp
-from mgtpu.ops.resample import avgpool
 from mgtpu.utils.metrics import topk_accuracy
 
 STEM = [64, 32, 16, 8]
@@ -35,19 +29,6 @@ BLOCKS = [
     ([64, 64, 128, 256], [3, 3, 3, 3]),
     ([64, 128, 256, 512], [3, 3, 3, 3]),
 ]
-
-
-@dataclass
-class Scale4Classifier(LogSoftmaxClassifier):
-    """Classifier reading the *coarsest* scale (SelectTable(4))."""
-
-    def apply(self, p, s, pyr, *, train=False, rng=None):
-        x = pyr[-1]
-        if self.pool:
-            x = avgpool(x, self.pool, 1)
-        x = x.reshape(x.shape[0], -1)
-        y, s = self.dense.apply(p, s, x, train=train)
-        return jax.nn.log_softmax(y, axis=-1), s
 
 
 def build(depth: int = 30, shortcut_type: str = "A", n_classes: int = 1000, dtype=None):
@@ -62,7 +43,13 @@ def build(depth: int = 30, shortcut_type: str = "A", n_classes: int = 1000, dtyp
                 layers.append(
                     PerScale(
                         [None] * (n - 1)
-                        + [ResBlock(widths[-1], widths[-1], dtype=dtype)]
+                        + [ResBlock(
+                            widths[-1], widths[-1], dtype=dtype,
+                            # the reference forwards shortcutType into
+                            # the prefix resConv (`prnmgseg.lua:318`):
+                            # type C gives 1x1 ConvBN even same-width
+                            shortcut_type="C" if shortcut_type == "C" else "",
+                        )]
                     )
                 )
             else:
@@ -85,7 +72,10 @@ def build(depth: int = 30, shortcut_type: str = "A", n_classes: int = 1000, dtyp
                 MgResidual(widths, ws, ks, shortcut_type=shortcut_type, dtype=dtype)
             )
             widths = list(ws)
-    layers.append(Scale4Classifier(widths[-1], n_classes, pool=7, dtype=dtype))
+    # classifier reads the COARSEST scale (SelectTable(4),
+    # `prnmgseg.lua:380-385`)
+    layers.append(LogSoftmaxClassifier(widths[-1], n_classes, pool=7,
+                                       dtype=dtype, scale=-1))
     return MgNet(layers)
 
 

@@ -41,12 +41,13 @@ def mnist_iu(probs, targets, threshold: float = 0.5):
 
 
 def seg_mean_iu_mean_acc(probs, targets, threshold: float = 0.5):
-    """Per-class meanIU / meanAcc as computed offline by the reference
-    notebook (`notebooks/mnist-segmentation.ipynb` cells 1-2): for each
-    class c, IU_c = TP_c/(TP_c+FP_c+FN_c) and Acc_c = TP_c/(TP_c+FN_c),
-    aggregated over the whole test set; classes never present are
-    skipped. probs/targets: (N, H, W, C). Returns per-class sums so the
-    caller can aggregate across batches: (tp, fp, fn) each (C,)."""
+    """Per-class counts for the reference notebook's offline metrics
+    (`notebooks/mnist-segmentation.ipynb` cells 1-2, =
+    tools/seg_metrics.py): IU_c = TP_c/(TP_c+FP_c+FN_c) and
+    Acc_c = TP_c/(TP_c+FP_c) (the notebook's tp/#predicted, i.e.
+    precision), each averaged over ALL C classes. probs/targets:
+    (N, H, W, C). Returns per-class sums so the caller can aggregate
+    across batches: (tp, fp, fn) each (C,)."""
     pred = (probs >= threshold).astype(jnp.float32)
     t = targets.astype(jnp.float32)
     axes = tuple(range(0, t.ndim - 1))

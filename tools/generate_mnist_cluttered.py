@@ -58,6 +58,11 @@ def main():
     z = np.load(args.mnist)
     n_tr, n_va, n_te, merge = SPLITS[args.task]
     n_tr, n_va, n_te = (max(int(n * args.scale), 0) for n in (n_tr, n_va, n_te))
+    if n_tr == 0 or n_te == 0:
+        raise SystemExit(
+            f"--scale {args.scale} rounds the train/test split to zero "
+            f"samples (tr={n_tr}, te={n_te}); use a larger scale"
+        )
 
     out = {}
     if n_tr:

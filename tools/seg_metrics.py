@@ -21,17 +21,25 @@ import h5py
 import numpy as np
 
 
-def mean_iu_acc(prediction: np.ndarray, labels: np.ndarray, threshold: float = 0.5):
-    """prediction/labels: (N, H, W, C) or (N, C, H, W)."""
-    if prediction.shape[1] != labels.shape[1]:
-        raise ValueError("prediction/labels class dims differ")
+def mean_iu_acc(prediction: np.ndarray, labels: np.ndarray, threshold: float = 0.5,
+                layout: str = "auto"):
+    """prediction/labels: (N, H, W, C) or (N, C, H, W).
+
+    layout: 'nhwc' | 'nchw' | 'auto'. Auto assumes channel-last (the
+    mgtpu dump layout) unless dim 1 is strictly smaller than the last
+    dim; pass the layout explicitly when spatial extent <= channels
+    (e.g. coarse-scale dumps), where any heuristic is ambiguous."""
+    if prediction.shape != labels.shape:
+        raise ValueError("prediction/labels shapes differ")
     pred = prediction >= threshold
     lab = labels >= threshold
-    n_class = pred.shape[-1] if pred.shape[-1] < pred.shape[1] else pred.shape[1]
-    # normalize to channel-last
-    if pred.shape[1] == n_class and pred.ndim == 4 and pred.shape[-1] != n_class:
+    if layout == "auto":
+        layout = "nchw" if (pred.ndim == 4 and pred.shape[1] < pred.shape[-1]) else "nhwc"
+    if layout == "nchw":
         pred = np.moveaxis(pred, 1, -1)
         lab = np.moveaxis(lab, 1, -1)
+    elif layout != "nhwc":
+        raise ValueError(f"unknown layout {layout!r}")
     iu = acc = 0.0
     for c in range(pred.shape[-1]):
         p = pred[..., c]
@@ -49,6 +57,9 @@ def main():
     ap.add_argument("h5", help="testOutput_<epoch>.h5 with a 'prediction' dataset")
     ap.add_argument("--targets", required=True, help="mnist_segmentation.npz")
     ap.add_argument("--split", default="test")
+    ap.add_argument("--layout", default="auto", choices=["auto", "nhwc", "nchw"],
+                    help="prediction tensor layout (auto is ambiguous "
+                         "when spatial extent <= channels)")
     ap.add_argument("--threshold", type=float, default=0.5)
     args = ap.parse_args()
 
@@ -56,7 +67,7 @@ def main():
         pred = np.asarray(f["prediction"])
     z = np.load(args.targets)
     lab = z[f"{args.split}_targets"][: len(pred)]
-    iu, acc = mean_iu_acc(pred, lab, args.threshold)
+    iu, acc = mean_iu_acc(pred, lab, args.threshold, layout=args.layout)
     print(f"mean IU: {iu:.6f}")
     print(f"mean Acc: {acc:.6f}")
 
