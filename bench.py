@@ -47,12 +47,21 @@ _PEAK = {
 }
 
 
-def chip_peak_flops() -> float:
+def chip_peak_flops():
+    """Returns (device_kind, bf16 peak FLOP/s, known). Unknown kinds
+    fall back to the v5e peak but are flagged loudly: the MFU fields
+    would otherwise look plausible while being wrong on e.g. CPU or a
+    future TPU generation."""
     kind = jax.devices()[0].device_kind
     for k, v in _PEAK.items():
         if kind.startswith(k):
-            return v
-    return 197e12  # default to the v5e target hardware
+            return kind, v, True
+    print(
+        f"WARNING: unknown device_kind {kind!r} — MFU/train_ceiling "
+        "fields assume the v5e bf16 peak (197 TFLOP/s) and may be wrong",
+        file=sys.stderr,
+    )
+    return kind, 197e12, False
 
 
 def _sync(v):
@@ -122,7 +131,7 @@ def main():
     # no device_count division (which would underreport on multi-chip
     # hosts)
 
-    peak = chip_peak_flops()
+    kind, peak, peak_known = chip_peak_flops()
     infer_flops = 2.0 * MACS_PER_IMAGE
     train_flops = 3.0 * infer_flops  # fwd + ~2x-fwd bwd
 
@@ -132,6 +141,8 @@ def main():
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10000.0, 4),
+        "device_kind": kind,
+        "peak_flops_known": peak_known,
         "infer_mfu": round(ips * infer_flops / peak, 4),
         "train_ceiling": round(peak / train_flops, 1),
     }

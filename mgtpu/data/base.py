@@ -28,6 +28,14 @@ def _apply_hook(hook: Optional[Hook], img: np.ndarray, rng) -> np.ndarray:
     return img if hook is None else hook(img, rng)
 
 
+def check_1based(i1: int) -> None:
+    """Reject i1 < 1 in every loader's get(): the contract is 1-based
+    inclusive (`INTRO.md:22-27`), and a 0 would silently wrap to the
+    LAST sample via Python negative indexing and misalign the batch."""
+    if i1 < 1:
+        raise ValueError(f"get() indices are 1-based, got i1={i1}")
+
+
 class ClassBalancedDataset:
     """In-memory classification dataset with class-balanced sampling.
 
@@ -68,8 +76,7 @@ class ClassBalancedDataset:
 
     def get(self, i1: int, i2: int, rng=None):
         rng = rng or np.random.default_rng(0)
-        if i1 < 1:  # 0 would wrap to images[-1] and misalign the batch
-            raise ValueError(f"get() indices are 1-based, got i1={i1}")
+        check_1based(i1)
         idx = range(i1 - 1, i2)  # reference slices are 1-based inclusive
         xs = [_apply_hook(self.test_hook, self.images[i], rng) for i in idx]
         ys = [self.labels[i] for i in idx]
@@ -106,6 +113,7 @@ class PairedDataset:
 
     def get(self, i1: int, i2: int, rng=None):
         rng = rng or np.random.default_rng(0)
+        check_1based(i1)
         idx = range(i1 - 1, i2)
         xs = [_apply_hook(self.test_hook, self.inputs[i], rng) for i in idx]
         ys = [self.targets[i] for i in idx]

@@ -22,6 +22,7 @@ from typing import List, Optional
 import numpy as np
 
 from mgtpu.data import transforms as tf
+from mgtpu.data.base import check_1based
 
 MEANSTD = ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225])  # donkey.lua:21-24
 PCA_EIGVAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
@@ -164,6 +165,7 @@ class FolderDataset:
 
     def get(self, i1, i2, rng=None):
         rng = rng or np.random.default_rng(0)
+        check_1based(i1)
         xs, ys = [], []
         for i in range(i1 - 1, i2):
             img = load_image(self.paths[i])
@@ -214,6 +216,7 @@ class SynthIlsvrc:
 
     def get(self, i1, i2, rng=None):
         rng = rng or np.random.default_rng(0)
+        check_1based(i1)
         xs = [self.hook(self._image(i), rng) for i in range(i1 - 1, i2)]
         return np.stack(xs).astype(np.float32), self.labels[i1 - 1 : i2]
 

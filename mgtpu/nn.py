@@ -252,6 +252,12 @@ class BatchNorm:
                 y = (xf * inv + (p["bias"] - mean * inv)).astype(x.dtype)
             else:
                 y, mean, var = _bn_train(x, p["scale"], p["bias"], self.eps)
+            # running stats are non-differentiated state: stop_gradient
+            # enforces structurally what _bn_train_bwd assumes (it drops
+            # the mean/var cotangents) — a future caller differentiating
+            # through new_s gets zeros by contract, not silent garbage
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
             n = np.prod([x.shape[a] for a in range(x.ndim - 1)])
             unbiased = var * (n / max(n - 1, 1))
             new_s = {

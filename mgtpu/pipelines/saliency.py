@@ -133,7 +133,13 @@ def run(sess) -> None:
         stacks = np.stack([s for _, s in items])  # (k, 842, H, W, 1)
         flat = stacks.reshape((-1,) + stacks.shape[2:])
         if shardable:
-            flat = sess._shard({"x": flat})["x"]
+            # batch-only sharding, even under -spatial: the 842-stack is
+            # purely data-parallel and params are replicated, while the
+            # H-split path would have to check height divisibility and
+            # the >=8-rows heuristic for nothing
+            from mgtpu.parallel.mesh import shard_batch
+
+            flat = shard_batch(mesh, {"x": flat}, spatial=False)["x"]
         else:
             flat = jnp.asarray(flat)
         if mesh is not None:

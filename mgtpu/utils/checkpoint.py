@@ -49,8 +49,10 @@ def _encode(tree, arrays: list):
     if isinstance(tree, dict):
         for k in tree:
             # keys round-trip as strings; a non-str key would save fine
-            # but load as a DIFFERENT tree (silent structure corruption)
-            assert isinstance(k, str), f"checkpoint dict keys must be str, got {k!r}"
+            # but load as a DIFFERENT tree (silent structure corruption).
+            # A real raise, not assert: -O must not strip this guard.
+            if not isinstance(k, str):
+                raise TypeError(f"checkpoint dict keys must be str, got {k!r}")
         return {"t": "d", "k": {k: _encode(v, arrays) for k, v in tree.items()}}
     if isinstance(tree, (list, tuple)):
         return {

@@ -125,3 +125,16 @@ def test_checkpoint_is_not_pickle(tmp_path):
     with np.load(path) as z:
         struct = json.loads(str(z["__struct__"]))
     assert struct["format"] == CKPT_FORMAT and struct["version"] == CKPT_VERSION
+
+
+def test_checkpoint_rejects_non_str_keys(tmp_path):
+    """Non-str dict keys would round-trip as strings — a DIFFERENT tree
+    on load. Must raise TypeError (not assert: -O strips asserts)."""
+    import numpy as np
+    import pytest
+
+    from mgtpu.utils.checkpoint import save_checkpoint
+
+    with pytest.raises(TypeError, match="keys must be str"):
+        save_checkpoint(str(tmp_path / "bad.ckpt"),
+                        {0: np.zeros(2)}, {}, None, 1, {})

@@ -315,3 +315,29 @@ def test_ilsvrc_single_tree_split(tmp_path):
     assert x.shape == (4, 224, 224, 3)
     xt, yt = te.get_inputs(1, te.size(), 1)
     assert xt.shape == (3, 224, 224, 3)
+
+
+def test_get_rejects_zero_index_all_loaders(tmp_path):
+    """Every loader class shares the 1-based get() guard (`INTRO.md:
+    22-27`): i1=0 must raise, not silently wrap to the last sample."""
+    from PIL import Image as PILImage
+
+    from mgtpu.data.base import ClassBalancedDataset, PairedDataset
+    from mgtpu.data.ilsvrc import FolderDataset, SynthIlsvrc, test_transform
+
+    imgs = np.zeros((6, 8, 8, 3), np.float32)
+    labs = np.arange(6) % 2
+    d = tmp_path / "n01"
+    d.mkdir(parents=True)
+    PILImage.fromarray(np.zeros((40, 40, 3), np.uint8)).save(d / "a.jpg")
+    loaders = [
+        ClassBalancedDataset(imgs, labs, 2),
+        PairedDataset(imgs, imgs),
+        FolderDataset(str(tmp_path), test_transform()),
+        SynthIlsvrc(4, test_transform()),
+    ]
+    for loader in loaders:
+        with pytest.raises(ValueError, match="1-based"):
+            loader.get(0, 1)
+        x, _ = loader.get(1, 1)  # the valid lower bound still works
+        assert x.shape[0] == 1

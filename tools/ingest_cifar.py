@@ -46,11 +46,31 @@ def zca_fit(x: np.ndarray, eps: float = 0.1):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--root", required=True)
+    ap.add_argument("--root", required=False, default=None)
     ap.add_argument("--dataset", default="cifar100", choices=["cifar10", "cifar100"])
     ap.add_argument("--whiten", action="store_true")
+    ap.add_argument("--t7", default=None, metavar="BLOB",
+                    help="ingest the reference's own torch.save artifact "
+                         "(e.g. the pre-whitened cifar100_whitened.t7 from "
+                         "README.md:49) instead of python pickles")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    if args.t7:
+        # the canonical reference drop: already whitened, so no GCN/ZCA
+        # pass — just translate layout (CHW->HWC; labels stay 1-based,
+        # the runtime loader's >=1 shift handles torch indexing)
+        from mgtpu.utils import t7 as t7mod
+        from read_t7 import convert_cifar
+
+        arrays = convert_cifar(t7mod.load(args.t7))
+        out = args.out or "cifar100_whitened.npz"
+        np.savez_compressed(out, **arrays)
+        print(f"wrote {out}: train {arrays['train_data'].shape}, "
+              f"test {arrays['test_data'].shape}")
+        return
+    if not args.root:
+        ap.error("--root is required unless --t7 is given")
 
     if args.whiten and args.dataset != "cifar100":
         raise SystemExit(
@@ -69,14 +89,19 @@ def main():
         mean, w = zca_fit(tr)
         from mgtpu import native
 
+        # both branches run (x - mean) @ w in float32: the native path
+        # is f32-only, so the numpy fallback must not accumulate in f64
+        # or the produced blob would depend on whether g++ exists on
+        # the ingest host
+        tr32 = np.ascontiguousarray(tr, np.float32)
+        te32 = np.ascontiguousarray(te, np.float32)
+        mean32, w32 = mean.astype(np.float32), np.ascontiguousarray(w, np.float32)
         if native.available():  # C++ blocked matmul; parity-pinned
-            trd = native.whiten(np.ascontiguousarray(tr, np.float32),
-                                mean, w)
-            ted = native.whiten(np.ascontiguousarray(te, np.float32),
-                                mean, w)
+            trd = native.whiten(tr32, mean32, w32)
+            ted = native.whiten(te32, mean32, w32)
         else:
-            trd = ((tr - mean) @ w).astype(np.float32)
-            ted = ((te - mean) @ w).astype(np.float32)
+            trd = (tr32 - mean32) @ w32
+            ted = (te32 - mean32) @ w32
     np.savez_compressed(
         out,
         train_data=trd.astype(np.float32),
