@@ -1,0 +1,359 @@
+"""Torch7 serialization round-trips + blob conversion + weight import.
+
+The reference's canonical artifacts are torch.save blobs (SURVEY §2.9:
+`cifar100_whitened.t7`, `mnist_<task>.t7`, `model_<E>.t7`); no real
+blob survives on this zero-egress box (`/root/reference/
+.MISSING_LARGE_BLOBS`), so fidelity is pinned by writer->reader
+round-trips over every type torch.save emits, in both binary and ascii
+framings of the published format."""
+
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from mgtpu.utils import t7
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+if TOOLS not in sys.path:
+    sys.path.insert(0, TOOLS)
+
+
+@pytest.mark.parametrize("ascii_mode", [False, True])
+def test_roundtrip_all_types(tmp_path, ascii_mode):
+    rng = np.random.default_rng(0)
+    obj = {
+        "double_t": rng.standard_normal((2, 3, 4)),
+        "float_t": rng.standard_normal((5,)).astype(np.float32),
+        "long_t": np.arange(6, dtype=np.int64).reshape(2, 3),
+        "int_t": np.arange(4, dtype=np.int32),
+        "short_t": np.arange(4, dtype=np.int16),
+        "char_t": np.arange(4, dtype=np.int8),
+        "byte_t": np.arange(4, dtype=np.uint8),
+        "empty_t": np.empty((0,), np.float32),
+        "num": 3.5,
+        "neg": -1.0,
+        "string": "hello world",
+        "flag_t": True,
+        "flag_f": False,
+        "nothing": None,
+        "nested": {"a": [1.0, 2.0, 3.0], "b": {"c": "deep"}},
+    }
+    p = str(tmp_path / "all.t7")
+    t7.save(p, obj, ascii_mode=ascii_mode)
+    assert t7.sniff_ascii(p) == ascii_mode
+    back = t7.load(p)
+    for k in ("double_t", "float_t", "long_t", "int_t", "short_t",
+              "char_t", "byte_t", "empty_t"):
+        np.testing.assert_array_equal(back[k], obj[k])
+        assert back[k].dtype == obj[k].dtype
+    assert back["num"] == 3.5 and back["neg"] == -1.0
+    assert back["string"] == "hello world"
+    assert back["flag_t"] is True and back["flag_f"] is False
+    assert back["nothing"] is None
+    assert back["nested"]["a"] == [1.0, 2.0, 3.0]
+    assert back["nested"]["b"]["c"] == "deep"
+
+
+@pytest.mark.parametrize("ascii_mode", [False, True])
+def test_roundtrip_shared_refs_and_cycles(tmp_path, ascii_mode):
+    shared = {"x": 1.0}
+    obj = {"a": shared, "b": shared}
+    obj["self"] = obj
+    p = str(tmp_path / "refs.t7")
+    t7.save(p, obj, ascii_mode=ascii_mode)
+    back = t7.load(p)
+    assert back["a"] is back["b"]  # ref-indices preserve sharing
+    assert back["self"] is back  # and cycles
+
+
+def test_roundtrip_torch_object_nn_graph(tmp_path):
+    conv = t7.TorchObject("nn.SpatialConvolution", {
+        "weight": np.random.default_rng(1).standard_normal((8, 3, 3, 3)).astype(np.float32),
+        "bias": np.zeros(8, np.float32),
+        "nInputPlane": 3.0, "nOutputPlane": 8.0,
+    })
+    seq = t7.TorchObject("nn.Sequential", {"modules": [conv]})
+    p = str(tmp_path / "m.t7")
+    t7.save(p, seq)
+    back = t7.load(p)
+    assert back.torch_type == "nn.Sequential" and back.version == 1
+    m0 = back["modules"][0]
+    assert m0.torch_type == "nn.SpatialConvolution"
+    np.testing.assert_array_equal(m0["weight"], conv["weight"])
+
+
+def test_reader_nonstandard_strides(tmp_path):
+    """Torch tensors can be non-contiguous views (e.g. :t()); the reader
+    must honor size/stride/offset, not assume natural layout."""
+    import io
+    import struct
+
+    base = np.arange(12, dtype=np.float32)
+    buf = io.BytesIO()
+    w = t7._Writer(buf, False)
+    # hand-write a transposed 3x4 view: sizes (4,3), strides (1,4), off 1
+    w.write_int(t7.TYPE_TORCH)
+    w.write_int(1)
+    w.write_string(b"V 1")
+    w.write_string(b"torch.FloatTensor")
+    w.write_int(2)
+    for v in (4, 3):
+        w.write_long(v)
+    for v in (1, 4):
+        w.write_long(v)
+    w.write_long(1)
+    w.write_int(t7.TYPE_TORCH)
+    w.write_int(2)
+    w.write_string(b"V 1")
+    w.write_string(b"torch.FloatStorage")
+    w.write_long(12)
+    w.write_elements(base)
+    arr = t7.loads(buf.getvalue())
+    np.testing.assert_array_equal(arr, base.reshape(3, 4).T)
+
+
+def test_legacy_class_name_without_version(tmp_path):
+    """Pre-V1 files put the class name where the version string goes."""
+    import io
+
+    buf = io.BytesIO()
+    w = t7._Writer(buf, False)
+    w.write_int(t7.TYPE_TORCH)
+    w.write_int(1)
+    w.write_string(b"torch.FloatTensor")  # no "V n" prefix
+    w.write_int(1)
+    w.write_long(3)
+    w.write_long(1)
+    w.write_long(1)
+    w.write_int(t7.TYPE_TORCH)
+    w.write_int(2)
+    w.write_string(b"torch.FloatStorage")
+    w.write_long(3)
+    w.write_elements(np.array([1, 2, 3], np.float32))
+    arr = t7.loads(buf.getvalue())
+    np.testing.assert_array_equal(arr, [1.0, 2.0, 3.0])
+
+
+def test_cuda_tensor_maps_to_f32(tmp_path):
+    import io
+
+    buf = io.BytesIO()
+    w = t7._Writer(buf, False)
+    w.write_int(t7.TYPE_TORCH)
+    w.write_int(1)
+    w.write_string(b"V 1")
+    w.write_string(b"torch.CudaTensor")
+    w.write_int(1)
+    w.write_long(2)
+    w.write_long(1)
+    w.write_long(1)
+    w.write_int(t7.TYPE_TORCH)
+    w.write_int(2)
+    w.write_string(b"V 1")
+    w.write_string(b"torch.CudaStorage")
+    w.write_long(2)
+    w.write_elements(np.array([1.5, 2.5], np.float32))
+    arr = t7.loads(buf.getvalue())
+    assert arr.dtype == np.float32
+    np.testing.assert_array_equal(arr, [1.5, 2.5])
+
+
+def _fake_cifar_blob(path):
+    rng = np.random.default_rng(3)
+    def split(n):  # every class populated (the loader requires it)
+        return {
+            "data": rng.standard_normal((n, 3072)).astype(np.float32),
+            "labels": (np.arange(n) % 100 + 1).astype(np.float64),  # 1-based
+        }
+    t7.save(path, {"trainData": split(200), "testData": split(100)})
+
+
+def test_read_t7_cli_cifar_conversion(tmp_path):
+    blob = str(tmp_path / "cifar100_whitened.t7")
+    out = str(tmp_path / "cifar100_whitened.npz")
+    _fake_cifar_blob(blob)
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "read_t7.py"), blob,
+         "--format", "cifar", "--to-npz", out],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    z = np.load(out)
+    assert z["train_data"].shape == (200, 32, 32, 3)
+    assert z["train_data"].dtype == np.float32
+    assert z["test_labels"].min() >= 1  # loader shifts 1-based labels
+    # and the runtime loader actually accepts the blob
+    from mgtpu.data.cifar import build_cifar100_whitened
+
+    opt = types.SimpleNamespace(data=str(tmp_path), imageSize=36,
+                                imageCrop=32, colorspace="bgr",
+                                dataAug="default")
+    loaders = build_cifar100_whitened(opt)
+    assert loaders["train"].size() == 200
+    x, y = loaders["test"].get_inputs(1, 4, 1)
+    assert x.shape == (4, 32, 32, 3) and y.min() >= 0
+
+
+def test_read_t7_cli_mnist_task_conversion(tmp_path):
+    rng = np.random.default_rng(4)
+    def split(n):
+        return {"data": rng.random((n, 1, 64, 64)).astype(np.float32),
+                "labels": rng.random((n, 10, 64, 64)).astype(np.float32)}
+    blob = str(tmp_path / "mnist_segmentation.t7")
+    t7.save(blob, {"train": split(6), "val": split(3), "test": split(3)})
+    out = str(tmp_path / "mnist_segmentation.npz")
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "read_t7.py"), blob,
+         "--format", "mnist-task", "--to-npz", out],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    z = np.load(out)
+    assert z["train_inputs"].shape == (6, 64, 64, 1)
+    assert z["valid_targets"].shape == (3, 64, 64, 10)  # val -> valid (-eval)
+    # runtime loader accepts it and exposes all three splits
+    from mgtpu.data.mnist import build_mnist_task
+
+    loaders = build_mnist_task(types.SimpleNamespace(data=str(tmp_path)), "mnist-seg")
+    assert set(loaders) == {"train", "test", "eval"}
+    assert loaders["eval"].size() == 3
+
+
+def test_ingest_cifar_t7_flag(tmp_path):
+    blob = str(tmp_path / "cifar100_whitened.t7")
+    out = str(tmp_path / "out.npz")
+    _fake_cifar_blob(blob)
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "ingest_cifar.py"),
+         "--t7", blob, "--out", out],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    z = np.load(out)
+    assert z["train_data"].shape == (200, 32, 32, 3)
+
+
+def _torch_blob_for_nmg(path, opt):
+    """Build a model_<E>.t7-shaped blob whose module sequence matches
+    cifar/nmg's flattened slot order, with reference layouts: conv
+    (O,I,kH,kW), BN weight/bias/running stats, Linear (O,I)."""
+    import jax
+
+    from mgtpu.models import get_net
+    from import_t7_model import flatten_mg
+
+    net = get_net("cifar/nmg")
+    model = net.create_model(opt)
+    params, stats = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    slots = flatten_mg(jax.tree.map(lambda x: x, params),
+                       jax.tree.map(lambda x: x, stats), [])
+    rng = np.random.default_rng(7)
+    modules = []
+    for kind, p, s in slots:
+        if kind == "conv":
+            kh, kw, ci, co = p["w"].shape
+            modules.append(t7.TorchObject("cudnn.SpatialConvolution", {
+                "weight": rng.standard_normal((co, ci, kh, kw)).astype(np.float32),
+                "bias": rng.standard_normal((co,)).astype(np.float32),
+                "nInputPlane": float(ci), "nOutputPlane": float(co),
+                "kH": float(kh), "kW": float(kw),
+            }))
+        elif kind == "linear":
+            ci, co = p["w"].shape
+            modules.append(t7.TorchObject("nn.Linear", {
+                "weight": rng.standard_normal((co, ci)).astype(np.float32),
+                "bias": rng.standard_normal((co,)).astype(np.float32),
+            }))
+        else:
+            c = p["scale"].shape[0]
+            modules.append(t7.TorchObject("nn.SpatialBatchNormalization", {
+                "weight": rng.standard_normal((c,)).astype(np.float32),
+                "bias": rng.standard_normal((c,)).astype(np.float32),
+                "running_mean": rng.standard_normal((c,)).astype(np.float32),
+                "running_var": rng.random((c,)).astype(np.float32) + 0.5,
+            }))
+    seq = t7.TorchObject("nn.Sequential", {"modules": modules})
+    # wrap like saveDataParallel output sometimes is: a DPT whose
+    # replicas must collapse to one (`multigpu.lua:33-51`)
+    dpt = t7.TorchObject("nn.DataParallelTable", {"modules": [seq, seq]})
+    t7.save(path, dpt)
+    return modules
+
+
+def test_import_t7_model_nmg(tmp_path):
+    """Order-based import maps every conv/BN/Linear onto the cifar/nmg
+    pytree with layout translation, and the result forwards."""
+    import jax
+
+    opt = types.SimpleNamespace(netType="cifar/nmg", dataset="cifar100-whitened",
+                                nLayer=1, compute_dtype=None)
+    blob = str(tmp_path / "model_200.t7")
+    modules = _torch_blob_for_nmg(blob, opt)
+
+    from import_t7_model import import_model
+
+    params, stats = import_model(blob, opt)
+    # spot-check the first conv and the classifier translate correctly
+    first = modules[0]
+    np.testing.assert_array_equal(
+        params["0"]["0"]["conv"]["w"],
+        np.asarray(first["weight"]).transpose(2, 3, 1, 0))
+    lin = modules[-1]
+    np.testing.assert_array_equal(params[max(params, key=int)]["w"],
+                                  np.asarray(lin["weight"]).T)
+    bn = modules[1]
+    np.testing.assert_array_equal(stats["0"]["0"]["bn"]["mean"],
+                                  bn["running_mean"])
+    # the imported tree drives a real eval forward
+    from mgtpu.models import get_net
+
+    model = get_net("cifar/nmg").create_model(opt)
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    y, _ = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False))(params, stats, x)
+    assert y.shape == (2, 100)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_import_t7_model_mm_weights_and_running_std(tmp_path):
+    """SpatialConvolutionMM's flattened weights unfold; legacy
+    running_std converts to variance."""
+    import jax
+
+    opt = types.SimpleNamespace(netType="cifar/nmg", dataset="cifar100-whitened",
+                                nLayer=1, compute_dtype=None)
+    blob = str(tmp_path / "model_mm.t7")
+    modules = _torch_blob_for_nmg(blob, opt)
+    # mutate: conv0 -> MM layout, bn0 -> running_std
+    conv0 = modules[0]
+    w4 = np.asarray(conv0["weight"])
+    conv0.torch_type = "nn.SpatialConvolutionMM"
+    conv0.fields["weight"] = w4.reshape(w4.shape[0], -1)
+    bn0 = modules[1]
+    var = np.asarray(bn0["running_var"], np.float64)
+    del bn0.fields["running_var"]
+    bn0.fields["running_std"] = (1.0 / np.sqrt(var)).astype(np.float32)
+    seq = t7.TorchObject("nn.Sequential", {"modules": modules})
+    t7.save(blob, seq)
+
+    from import_t7_model import import_model
+
+    params, stats = import_model(blob, opt)
+    np.testing.assert_array_equal(params["0"]["0"]["conv"]["w"],
+                                  w4.transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(stats["0"]["0"]["bn"]["var"],
+                               var.astype(np.float32), rtol=1e-5)
+    del jax  # imported for parity with the sibling test
+
+
+def test_import_t7_model_rejects_mismatch(tmp_path):
+    opt = types.SimpleNamespace(netType="cifar/nmg", dataset="cifar100-whitened",
+                                nLayer=1, compute_dtype=None)
+    blob = str(tmp_path / "model_bad.t7")
+    modules = _torch_blob_for_nmg(blob, opt)
+    t7.save(blob, t7.TorchObject("nn.Sequential", {"modules": modules[:-1]}))
+
+    from import_t7_model import import_model
+
+    with pytest.raises(SystemExit, match="sequences disagree"):
+        import_model(blob, opt)
