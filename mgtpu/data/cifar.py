@@ -121,6 +121,28 @@ def _resolve_cifar_source(opt, name: str, whitened: bool):
     ), n_classes
 
 
+def _carve_eval(trd, trl, n_classes: int, per_class: int, seed: int):
+    """-evalSplit: hold out ``per_class`` seeded samples of every class
+    from the train arrays as a validation split. The reference's eval
+    pipeline existed but no classification dataset could feed it
+    (`pipelines/standard/eval.lua:18-84` + SURVEY §2.8: no model/loader
+    pair ever implemented it); this carve closes that gap."""
+    rng = np.random.default_rng(seed * 1_000_003 + 99991)
+    ev_idx = []
+    for c in range(n_classes):
+        members = np.flatnonzero(trl == c)
+        if len(members) <= per_class:
+            raise ValueError(
+                f"-evalSplit {per_class} would empty class {c} "
+                f"({len(members)} train samples)"
+            )
+        ev_idx.append(members[rng.permutation(len(members))[:per_class]])
+    ev = np.concatenate(ev_idx)
+    mask = np.ones(len(trl), bool)
+    mask[ev] = False
+    return (trd[mask], trl[mask]), (trd[ev], trl[ev])
+
+
 def _colorspace_t(opt):
     cs = getattr(opt, "colorspace", "bgr")
     if cs == "bgr":
@@ -158,9 +180,16 @@ def build_cifar100_whitened(opt):
     # donkey.lua:167-177 instead of crashing.
     test_hook = tf.compose([cs, tf.scale(image_size, "bilinear"), tf.center_crop_pad(crop)])
 
-    train = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
-    test = ClassBalancedDataset(ted, tel, n_classes, None, test_hook)
-    return {"train": train, "test": test}
+    loaders = {}
+    per_class = int(getattr(opt, "evalSplit", 0))
+    if per_class > 0:
+        (trd, trl), (evd, evl) = _carve_eval(
+            trd, trl, n_classes, per_class, getattr(opt, "manualSeed", 2)
+        )
+        loaders["eval"] = ClassBalancedDataset(evd, evl, n_classes, None, test_hook)
+    loaders["train"] = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
+    loaders["test"] = ClassBalancedDataset(ted, tel, n_classes, None, test_hook)
+    return loaders
 
 
 def build_cifar_normalized(opt, name: str):
@@ -176,6 +205,13 @@ def build_cifar_normalized(opt, name: str):
         train_hook = tf.compose([norm, tf.horizontal_flip(0.5), tf.random_crop(32, 4)])
     else:
         train_hook = norm
-    train = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
-    test = ClassBalancedDataset(ted, tel, n_classes, None, norm)
-    return {"train": train, "test": test}
+    loaders = {}
+    per_class = int(getattr(opt, "evalSplit", 0))
+    if per_class > 0:
+        (trd, trl), (evd, evl) = _carve_eval(
+            trd, trl, n_classes, per_class, getattr(opt, "manualSeed", 2)
+        )
+        loaders["eval"] = ClassBalancedDataset(evd, evl, n_classes, None, norm)
+    loaders["train"] = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
+    loaders["test"] = ClassBalancedDataset(ted, tel, n_classes, None, norm)
+    return loaders

@@ -143,6 +143,28 @@ class FolderDataset:
             self.subset(te_all, test_hook),
         )
 
+    def carve_eval(self, per_class: int, seed: int, eval_hook):
+        """-evalSplit for the folder tree: hold out ``per_class`` seeded
+        images of every class as a validation subset-view (the ilsvrc
+        leg of the three-way split; composes with -split, which carves
+        test first)."""
+        rng = np.random.default_rng(seed * 1_000_003 + 99991)
+        ev_idx, tr_idx = [], []
+        for c, members in enumerate(self.class_list):
+            members = np.asarray(members, np.int64)
+            if 0 < len(members) <= per_class:
+                raise ValueError(
+                    f"-evalSplit {per_class} would empty class "
+                    f"{self.classes[c]} ({len(members)} train images)"
+                )
+            perm = rng.permutation(len(members))
+            ev_idx.append(members[perm[:per_class]])
+            tr_idx.append(members[perm[per_class:]])
+        return (
+            self.subset(np.concatenate(tr_idx), self.hook),
+            self.subset(np.concatenate(ev_idx), eval_hook),
+        )
+
     def sample(self, quantity: int, rng: np.random.Generator):
         xs, ys = [], []
         for _ in range(quantity):
@@ -227,27 +249,43 @@ class SynthIlsvrc:
 def build_ilsvrc(opt):
     data_dir = getattr(opt, "data", "synthetic")
     ten = bool(getattr(opt, "tenCrop", False))
+    per_class = int(getattr(opt, "evalSplit", 0))
+    seed = getattr(opt, "manualSeed", 2)
     if data_dir == "synthetic":
         n = getattr(opt, "synthSize", 64)
         n_classes = getattr(opt, "synthClasses", 1000)
-        return {
+        out = {
             "train": SynthIlsvrc(n, train_transform(), n_classes),
             "test": SynthIlsvrc(max(n // 4, 8), test_transform(ten), n_classes),
         }
+        if per_class > 0:  # distinct seed -> disjoint procedural images
+            out["eval"] = SynthIlsvrc(
+                max(n // 4, 8), test_transform(ten), n_classes, seed=seed + 17
+            )
+        return out
     split = int(getattr(opt, "split", 0))
     if split:  # single-tree per-class split (`dataset.lua:217-263`)
         full = FolderDataset(data_dir, train_transform())
         if not full.classes:
             raise FileNotFoundError(f"no class directories under {data_dir}")
         train, test = full.split_train_test(
-            split, getattr(opt, "manualSeed", 2), test_transform(ten)
+            split, seed, test_transform(ten)
         )
-        return {"train": train, "test": test}
+        out = {"train": train, "test": test}
+        if per_class > 0:  # three-way: eval carved from the train share
+            out["train"], out["eval"] = train.carve_eval(
+                per_class, seed, test_transform(ten)
+            )
+        return out
     train_dir = os.path.join(data_dir, "train")
     val_dir = os.path.join(data_dir, "val")
     out = {}
     if os.path.isdir(train_dir):
         out["train"] = FolderDataset(train_dir, train_transform())
+        if per_class > 0:
+            out["train"], out["eval"] = out["train"].carve_eval(
+                per_class, seed, test_transform(ten)
+            )
     if os.path.isdir(val_dir):
         classes = out["train"].classes if "train" in out else None
         out["test"] = FolderDataset(val_dir, test_transform(ten), classes=classes)

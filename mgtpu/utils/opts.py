@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-pipeline", default="standard")
     p.add_argument("-saliencyBatch", type=int, default=4,
                    help="saliency pipeline: occlusion stacks per forward")
+    p.add_argument("-saliencyDumpStack", type=int, default=1,
+                   help="1 (default): write the full 842-stack output "
+                        "per sample to testOutput.h5 like the reference "
+                        "(saliency/test.lua:163-168) — ~14 MB/sample "
+                        "device->host. 0: compute probe points + "
+                        "saliency on device, dump only "
+                        "{points,saliency,input} (~100 KB/sample)")
     # ------------- TPU-native additions ----------------
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")
@@ -86,10 +93,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallelism; XLA inserts the conv halo "
                         "exchanges. Total devices = nGPU * spatial")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
+    p.add_argument("-multihost", action="store_true",
+                   help="join a multi-host slice via jax.distributed "
+                        "(DCN): set MGTPU_COORDINATOR host:port, "
+                        "MGTPU_NUM_PROCESSES and MGTPU_PROCESS_ID on "
+                        "every host (or rely on TPU pod auto-detect); "
+                        "the mesh then spans all hosts' chips")
     p.add_argument("-split", type=int, default=0,
                    help="ilsvrc: split a single directory-per-class tree "
                         "N%%/(100-N)%% into train/test (0 = expect "
                         "pre-split train/ + val/ dirs)")
+    p.add_argument("-evalSplit", type=int, default=0,
+                   help="hold out N samples per class from the TRAIN set "
+                        "as a validation split feeding -eval (seeded by "
+                        "-manualSeed; classification datasets — the mnist "
+                        "tasks carry a real valid split already). 0 keeps "
+                        "the reference behavior (-eval falls back to the "
+                        "test split with a warning)")
     return p
 
 

@@ -114,3 +114,23 @@ def test_train_eval_test_three_splits(tmp_path):
         "-nEpochs", "1", "-epochSize", "2", "-train", "-eval",
     )
     assert "WARNING: -eval requested" in out2
+
+
+def test_cifar_eval_split_cli(tmp_path):
+    """-evalSplit makes -eval real for CIFAR: eval epoch runs on the
+    carved split with no fallback warning; -evalSplit 0 keeps the loud
+    fallback (exercised by test_train_eval_test_three_splits)."""
+    out = _main(
+        "-netType", "cifar/nmg", "-dataset", "cifar100-whitened",
+        "-data", "synthetic", "-synthSize", "300", "-nLayer", "1",
+        "-batchSize", "8", "-imageSize", "36", "-imageCrop", "32",
+        "-nGPU", "1", "-nDonkeys", "0", "-cache", str(tmp_path),
+        "-nEpochs", "1", "-epochSize", "2", "-evalSplit", "1",
+        "-train", "-eval", "-test",
+    )
+    assert "doing epoch on eval data" in out
+    assert "WARNING: -eval requested" not in out
+    me = re.search(r"\[EVALUATION\].*avg\.loss:([0-9.]+)", out)
+    mt = re.search(r"\[TESTING\].*avg\.loss:([0-9.]+)", out)
+    assert me and mt, out[-800:]
+    assert me.group(1) != mt.group(1), "eval ran on the test split?"
