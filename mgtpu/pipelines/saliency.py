@@ -86,6 +86,56 @@ def saliency_map(outputs: np.ndarray, points: np.ndarray, mask: np.ndarray,
     return sal.astype(np.float32)
 
 
+def _interest_point_jnp(output, th: float = 0.4, dp: int = 1):
+    """Device-side interest_point: output (H, W, C>=1) -> (valid scalar,
+    (7, H, W, 1) probe masks). Identical probe layout to the host
+    version (verified bit-exact in tests/test_saliency.py); `valid`
+    replaces the host path's None return."""
+    o = output[:, :, 0].astype(jnp.float32)
+    h, w = o.shape
+    col_ok = jnp.max(o, axis=0) >= th
+    row_ok = jnp.max(o, axis=1) >= th
+    valid = (jnp.sum(col_ok) >= 2) & (jnp.sum(row_ok) >= 2)
+    col_st = jnp.argmax(col_ok)
+    col_ed = w - 1 - jnp.argmax(col_ok[::-1])
+    row_st = jnp.argmax(row_ok)
+    row_ed = h - 1 - jnp.argmax(row_ok[::-1])
+
+    def clamp(p, size):
+        p = jnp.where(p - dp < 0, dp, p)
+        return jnp.where(p + dp >= size, size - dp - 1, p)
+
+    pts = [(clamp((row_st + row_ed) // 2, h), clamp((col_st + col_ed) // 2, w))]
+    for ix in range(2):
+        x = clamp(col_st + ix * (col_ed - col_st), w)
+        for iy in range(3):
+            y = clamp(
+                row_st + jnp.ceil((row_ed - row_st) * iy / 2.0).astype(row_st.dtype),
+                h,
+            )
+            pts.append((y, x))
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(w)[None, :]
+    points = jnp.stack(
+        [
+            ((jnp.abs(ii - y) <= dp) & (jnp.abs(jj - x) <= dp)).astype(jnp.float32)
+            for y, x in pts
+        ]
+    )[..., None]
+    return valid, points
+
+
+def _saliency_map_jnp(outputs, points, mask, threshold: float = 0.1):
+    """Device-side saliency_map. The host version's bounding-box slice
+    is a host-loop optimization; on device the full masked max fuses
+    into one reduction (same result: diff >= 0, mask 0 elsewhere)."""
+    ori = outputs[0]
+    diff = jnp.abs(outputs[1:] - ori[None]).astype(jnp.float32)  # (N,H,W,C)
+    impact = jnp.max(diff[:, None] * points[None], axis=(2, 3, 4))  # (N,P)
+    keep = jnp.where(impact >= threshold, impact, 0.0)
+    return jnp.einsum("np,nhwk->phwk", keep, mask)
+
+
 def run(sess) -> None:
     import time
 
@@ -95,6 +145,13 @@ def run(sess) -> None:
     loader = sess.loaders["test"]
     n_test = loader.size()
     mask = loader.mask  # (841, H, W, 1)
+    # -saliencyDumpStack 1 (default) keeps the reference's full h5
+    # layout incl. the (842, H, W, C) output stack per sample
+    # (`saliency/test.lua:163-168`), paying a ~14 MB/sample transfer.
+    # 0 computes probe points + saliency ON DEVICE and transfers only
+    # {points, saliency} (~100 KB/sample) — the algorithm itself never
+    # needed the stack on the host (VERDICT r2 #3).
+    dump_stack = bool(int(getattr(opt, "saliencyDumpStack", 1)))
 
     # Group k samples' 1+841 stacks into ONE jit call (a reshape to
     # (k*842, H, W, 1) — per-sample eval-mode forwards are independent,
@@ -106,6 +163,21 @@ def run(sess) -> None:
     k = max(int(getattr(opt, "saliencyBatch", 4)), 1)
     k = min(k, max(n_test, 1))
     fwd = jax.jit(lambda p, s, x: sess.model.apply(p, s, x, train=False)[0])
+    n_stack = 1 + mask.shape[0]
+
+    def _fwd_probe_impl(p, s, flat, m):
+        out = sess.model.apply(p, s, flat, train=False)[0]
+        outs = out.reshape((k, n_stack) + out.shape[1:])
+
+        def one(o):
+            valid, points = _interest_point_jnp(o[0])
+            sal = _saliency_map_jnp(o, points, m)
+            return valid, points, sal
+
+        return jax.vmap(one)(outs)
+
+    fwd_probe = jax.jit(_fwd_probe_impl)
+    mask_dev = None if dump_stack else jnp.asarray(mask)
     # shard the k*842 stack over the data mesh when it divides (842 is
     # even, so k*842 divides any power-of-two mesh for even k); params
     # are already replicated by the Session — without this the forward
@@ -144,9 +216,11 @@ def run(sess) -> None:
             flat = jnp.asarray(flat)
         if mesh is not None:
             with jax.set_mesh(mesh):
-                out = fwd(sess.params, sess.stats, flat)  # async dispatch
+                out = (fwd(sess.params, sess.stats, flat) if dump_stack
+                       else fwd_probe(sess.params, sess.stats, flat, mask_dev))
         else:
-            out = fwd(sess.params, sess.stats, flat)
+            out = (fwd(sess.params, sess.stats, flat) if dump_stack
+                   else fwd_probe(sess.params, sess.stats, flat, mask_dev))
         # keep only each sample's un-occluded input for the h5 dump —
         # retaining the full (k, 842, H, W, 1) host stack would hold
         # ~55 MB per double-buffered group for a 65 KB need
@@ -169,20 +243,31 @@ def run(sess) -> None:
 
         def consume(group):
             inds, inputs0, out, n_valid = group
-            out_np = np.asarray(out)  # (k*842, Ho, Wo, Co)
-            outs = out_np.reshape((k, -1) + out_np.shape[1:])
+            if dump_stack:  # parity path: host probe from the full stack
+                out_np = np.asarray(out)  # (k*842, Ho, Wo, Co)
+                outs = out_np.reshape((k, -1) + out_np.shape[1:])
+                for j, ind in enumerate(inds):
+                    outputs = outs[j]
+                    points = interest_point(outputs[0])
+                    if points is None:  # no confident output extent
+                        continue
+                    sal = saliency_map(outputs, points, mask)
+                    gid = f"id{ind:05d}"
+                    print(gid)
+                    f.create_dataset(f"{gid}/points", data=points)
+                    f.create_dataset(f"{gid}/saliency", data=sal)
+                    f.create_dataset(f"{gid}/input", data=inputs0[j])
+                    f.create_dataset(f"{gid}/output", data=outputs)
+                return
+            valid, points_k, sal_k = (np.asarray(x) for x in out)
             for j, ind in enumerate(inds):
-                outputs = outs[j]
-                points = interest_point(outputs[0])
-                if points is None:  # skip when no confident output extent
+                if not valid[j]:
                     continue
-                sal = saliency_map(outputs, points, mask)
                 gid = f"id{ind:05d}"
                 print(gid)
-                f.create_dataset(f"{gid}/points", data=points)
-                f.create_dataset(f"{gid}/saliency", data=sal)
+                f.create_dataset(f"{gid}/points", data=points_k[j])
+                f.create_dataset(f"{gid}/saliency", data=sal_k[j])
                 f.create_dataset(f"{gid}/input", data=inputs0[j])
-                f.create_dataset(f"{gid}/output", data=outputs)
 
         pending = None
         for group in groups():  # dispatch g+1 before consuming g

@@ -113,3 +113,89 @@ def test_pipeline_grouping_bit_identical(tmp_path):
                 np.testing.assert_array_equal(
                     np.asarray(f1[f"{gid}/{ds}"]), np.asarray(f3[f"{gid}/{ds}"])
                 )
+
+
+def test_device_probe_matches_host():
+    """The on-device probe (-saliencyDumpStack 0) must reproduce the
+    host path: identical probe masks (bit-exact), matching saliency
+    accumulation, and `valid` mirroring the host's None return."""
+    import jax
+
+    from mgtpu.pipelines.saliency import _interest_point_jnp, _saliency_map_jnp
+
+    rng = np.random.default_rng(5)
+    cases = []
+    # confident boxes of assorted extents (incl. border-clamping ones)
+    for (r0, r1, c0, c1) in [(4, 12, 6, 10), (0, 15, 0, 15), (2, 3, 5, 9)]:
+        o = np.zeros((16, 16, 1), np.float32)
+        o[r0:r1 + 1, c0:c1 + 1, 0] = 0.9
+        cases.append(o)
+    cases.append(rng.random((16, 16, 1)).astype(np.float32))  # noisy
+    cases.append(np.zeros((16, 16, 1), np.float32))           # invalid
+    one_col = np.zeros((16, 16, 1), np.float32)
+    one_col[:, 7, 0] = 1.0                                    # invalid (1 col)
+    cases.append(one_col)
+
+    jit_probe = jax.jit(_interest_point_jnp)
+    jit_sal = jax.jit(_saliency_map_jnp)
+    n_occl = 10
+    mask = (rng.random((n_occl, 16, 16, 1)) > 0.7).astype(np.float32)
+    for o in cases:
+        host_pts = interest_point(o)
+        valid, dev_pts = jit_probe(jnp.asarray(o))
+        assert bool(valid) == (host_pts is not None)
+        if host_pts is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(dev_pts), host_pts)
+        outputs = np.concatenate([o[None]] * 1 + [rng.random((n_occl, 16, 16, 1)).astype(np.float32)])
+        host_sal = saliency_map(outputs, host_pts, mask)
+        dev_sal = np.asarray(jit_sal(jnp.asarray(outputs), dev_pts, jnp.asarray(mask)))
+        np.testing.assert_allclose(dev_sal, host_sal, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_dump_stack_flag(tmp_path):
+    """-saliencyDumpStack 0 writes the same {points, saliency, input}
+    (modulo float summation order) without the output stacks; 1 keeps
+    today's exact layout."""
+    import types
+
+    import h5py
+
+    from mgtpu.data import get_loaders
+    from mgtpu.data.prefetch import DonkeyPool
+    from mgtpu.pipelines import saliency as sal_pipe
+
+    class StubModel:
+        def apply(self, p, s, x, train=False, rng=None):
+            return jnp.tanh(x), s
+
+    def build_sess(dump, save):
+        opt = types.SimpleNamespace(
+            dataset="mnist-saliency", data="synthetic", synthSize=5,
+            imageSize=64, imageCrop=64, colorspace="gray",
+            dataAug="default", saliencyBatch=2, save=str(save),
+            saliencyDumpStack=dump,
+        )
+        sess = types.SimpleNamespace(
+            opt=opt, model=StubModel(), params={}, stats={},
+            loaders=get_loaders(opt),
+        )
+        sess.pool = DonkeyPool(0, opt=opt, loaders=sess.loaders)
+        return sess
+
+    sal_pipe.run(build_sess(1, tmp_path / "on"))
+    sal_pipe.run(build_sess(0, tmp_path / "off"))
+
+    with h5py.File(tmp_path / "on" / "testOutput.h5") as f1, \
+         h5py.File(tmp_path / "off" / "testOutput.h5") as f0:
+        keys = sorted(f1.keys())
+        assert sorted(f0.keys()) == keys and keys  # same samples kept
+        for gid in keys:
+            assert "output" in f1[gid] and "output" not in f0[gid]
+            np.testing.assert_array_equal(
+                np.asarray(f1[f"{gid}/points"]), np.asarray(f0[f"{gid}/points"]))
+            np.testing.assert_array_equal(
+                np.asarray(f1[f"{gid}/input"]), np.asarray(f0[f"{gid}/input"]))
+            np.testing.assert_allclose(
+                np.asarray(f1[f"{gid}/saliency"]),
+                np.asarray(f0[f"{gid}/saliency"]), rtol=1e-4, atol=1e-5)
