@@ -22,6 +22,12 @@ def main(argv=None):
 
     opt = parse(argv)
 
+    if getattr(opt, "multihost", False):
+        # must run before any other jax call initializes the backend
+        from mgtpu.parallel.mesh import init_multihost
+
+        init_multihost()
+
     random.seed(opt.manualSeed)
     np.random.seed(opt.manualSeed)
 

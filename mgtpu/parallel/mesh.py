@@ -12,11 +12,34 @@ spatial sharding can be added without re-plumbing."""
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_multihost() -> None:
+    """Multi-host bootstrap (-multihost): join the jax.distributed
+    coordination service so jax.devices() becomes the GLOBAL device set
+    of a multi-host slice (DCN; SURVEY §2.6's 'ICI/DCN' column — the
+    reference was single-host, `multigpu.lua:85`). Endpoint comes from
+    MGTPU_COORDINATOR / MGTPU_NUM_PROCESSES / MGTPU_PROCESS_ID, falling
+    back to jax's own auto-detection (TPU pod metadata)."""
+    coord = os.environ.get("MGTPU_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["MGTPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["MGTPU_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
+    print(
+        f"==> multihost: process {jax.process_index()}/{jax.process_count()}, "
+        f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+    )
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> Mesh:
@@ -25,6 +48,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> M
         n_data = len(devices) // n_model
     use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, ("data", "model"))
+
+
+def _put(x, sh: NamedSharding):
+    """device_put that also works when the mesh spans processes: every
+    process holds the full host value (loaders are seed-deterministic,
+    params are identically initialized), and the callback hands each
+    addressable shard its global slice."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+    return jax.device_put(x, sh)
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
@@ -61,7 +95,7 @@ def shard_batch(mesh: Mesh, tree, batch_axis: int = 0, spatial: bool = False):
             # (B,10,H,W,C) both resolve to the true H, where
             # batch_axis+1 would hit the crop axis of ten-crop batches)
             spec[x.ndim - 3] = "model"
-        return jax.device_put(x, NamedSharding(mesh, P(*spec[: x.ndim])))
+        return _put(x, NamedSharding(mesh, P(*spec[: x.ndim])))
 
     return jax.tree.map(put, tree)
 
@@ -99,4 +133,4 @@ def constrain_pyramid(pyr):
 
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)
