@@ -1,6 +1,11 @@
 """Pallas TPU kernels for the fused multigrid conv — the BASELINE.json
 north star ("mg-conv ... single fused Pallas kernels") attempted at the
-conv level — EXPERIMENTAL until it beats XLA (see bench_shapes()).
+conv level. MEASURED OUTCOME (v5e, two-batch slope fit, full table in
+PARITY "Pallas conv experiments"): XLA wins every R-MG-34 train shape —
+13.8% vs 73.1% MXU on the hottest (Co=64) conv, within 16-24% but still
+behind at Co=256/512 — and the fused bn-relu-conv chain loses at every
+shape too, so these kernels stay an experiment record and the zoo keeps
+the XLA path. The structural reason is quantified below.
 
 Motivation (PARITY "Training-throughput ceiling", batch-128 R-MG-34
 train step = 41.4 ms device time): convs are at the all-MXU roofline
