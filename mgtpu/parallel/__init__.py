@@ -4,4 +4,6 @@ from mgtpu.parallel.mesh import (
     replicate,
     batch_sharding,
     replicated_sharding,
+    shard_params_tp,
+    tp_sharding,
 )

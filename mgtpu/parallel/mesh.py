@@ -42,12 +42,18 @@ def init_multihost() -> None:
     )
 
 
-def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> Mesh:
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None,
+              model_axis: str = "model") -> Mesh:
+    """data × model device mesh. ``model_axis`` names the second axis
+    and encodes its use: 'model' = spatial H-sharding (-spatial, the
+    constrain_spatial path), 'tensor' = channel sharding (-tensor, the
+    shard_params_tp path). The name is what keeps the two modes from
+    fighting: constrain_spatial only fires on a 'model' axis."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
     use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(use, ("data", "model"))
+    return Mesh(use, ("data", model_axis))
 
 
 def _put(x, sh: NamedSharding):
@@ -134,3 +140,34 @@ def constrain_pyramid(pyr):
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: _put(x, sh), tree)
+
+
+def tp_sharding(mesh: Mesh, x) -> NamedSharding:
+    """Channel sharding for one param/stat/momentum leaf under -tensor:
+    split the TRAILING dim — a conv kernel's O (HWIO), a BN
+    scale/bias/running-stat's C — over the 'tensor' axis. Leaves whose
+    trailing dim doesn't divide, or would drop below 8 channels per
+    shard (the GSPMD small-shard cliff found with -spatial — see
+    constrain_spatial), stay replicated; correctness never depends on
+    which leaves end up sharded."""
+    nt = mesh.shape["tensor"]
+    if (
+        nt > 1
+        and getattr(x, "ndim", 0) >= 1
+        and x.shape[-1] % nt == 0
+        and x.shape[-1] // nt >= 8
+    ):
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["tensor"])))
+    return NamedSharding(mesh, P())
+
+
+def shard_params_tp(mesh: Mesh, tree):
+    """Place a params/stats/opt-state pytree for -tensor runs: every
+    eligible leaf channel-sharded over 'tensor' (tensor parallelism:
+    each device owns an output-channel slice of every conv and its BN,
+    and the matching slice of the SGD momentum — param, grad, and
+    optimizer memory all scale down 1/N), the rest replicated. XLA's
+    GSPMD propagates the layout through the forward/backward and
+    inserts the collectives (channel all-gathers where a conv consumes
+    a sharded activation, psums where it contracts one)."""
+    return jax.tree.map(lambda x: _put(x, tp_sharding(mesh, x)), tree)

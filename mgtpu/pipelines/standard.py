@@ -27,7 +27,12 @@ class Session:
         from mgtpu.data import get_loaders
         from mgtpu.data.prefetch import DonkeyPool
         from mgtpu.models import get_net
-        from mgtpu.parallel import make_mesh, replicate, shard_batch
+        from mgtpu.parallel import (
+            make_mesh,
+            replicate,
+            shard_batch,
+            shard_params_tp,
+        )
         from mgtpu.train.optim import sgd_init
         from mgtpu.train.step import make_eval_step, make_train_step
         from mgtpu.utils.checkpoint import load_checkpoint, model_meta
@@ -37,11 +42,18 @@ class Session:
         self.model = self.net.create_model(opt)
         self.loss_fn = self.net.create_loss(opt)
 
-        n_model = max(getattr(opt, "spatial", 1), 1)
+        n_spatial = max(getattr(opt, "spatial", 1), 1)
+        n_tensor = max(getattr(opt, "tensor", 1), 1)
+        if n_spatial > 1 and n_tensor > 1:
+            raise SystemExit(
+                "-spatial and -tensor both shard the second mesh axis; "
+                "use one or the other"
+            )
+        n_model = n_spatial * n_tensor
         if jax.device_count() % n_model or jax.device_count() < n_model:
             raise SystemExit(
-                f"-spatial {n_model} needs a device count divisible by it "
-                f"(have {jax.device_count()})"
+                f"-spatial/-tensor {n_model} needs a device count divisible "
+                f"by it (have {jax.device_count()})"
             )
         avail = jax.device_count() // n_model
         requested = min(opt.nGPU if opt.nGPU > 0 else avail, avail)
@@ -55,8 +67,12 @@ class Session:
         if n_data != requested:
             print(f"==> nGPU clamped to {n_data} (batchSize {opt.batchSize} "
                   f"must divide across the data mesh)")
-        self.mesh = make_mesh(n_data=n_data, n_model=n_model)
-        self._spatial = n_model > 1
+        self.mesh = make_mesh(
+            n_data=n_data, n_model=n_model,
+            model_axis="tensor" if n_tensor > 1 else "model",
+        )
+        self._spatial = n_spatial > 1
+        self._tensor = n_tensor > 1
 
         key = jax.random.PRNGKey(opt.manualSeed)
         start = self.net.initial_state(opt, self.model) if hasattr(self.net, "initial_state") else None
@@ -70,9 +86,13 @@ class Session:
         else:
             params, stats = jax.jit(self.model.init)(key)
             opt_state = sgd_init(params)
-        self.params = replicate(self.mesh, params)
-        self.stats = replicate(self.mesh, stats)
-        self.opt_state = replicate(self.mesh, opt_state)
+        if self._tensor:
+            place = lambda tree: shard_params_tp(self.mesh, tree)
+        else:
+            place = lambda tree: replicate(self.mesh, tree)
+        self.params = place(params)
+        self.stats = place(stats)
+        self.opt_state = place(opt_state)
         self.meta = model_meta(opt)
 
         self.loaders = get_loaders(opt)

@@ -92,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'model' mesh axis) in addition to -nGPU data "
                         "parallelism; XLA inserts the conv halo "
                         "exchanges. Total devices = nGPU * spatial")
+    p.add_argument("-tensor", type=int, default=1,
+                   help="shard CHANNELS over this many devices (tensor "
+                        "parallelism on a 'tensor' mesh axis): every "
+                        "conv's output-channel slice, its BN, and the "
+                        "matching SGD momentum live on one device, so "
+                        "param/optimizer memory scales 1/N; XLA inserts "
+                        "the channel collectives. Total devices = nGPU * "
+                        "tensor; mutually exclusive with -spatial")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
     p.add_argument("-multihost", action="store_true",
                    help="join a multi-host slice via jax.distributed "

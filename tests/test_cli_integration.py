@@ -116,6 +116,34 @@ def test_train_eval_test_three_splits(tmp_path):
     assert "WARNING: -eval requested" in out2
 
 
+@pytest.mark.slow
+def test_tensor_parallel_cli(tmp_path):
+    """-tensor 2 end-to-end: train+test on a 4x2 data x tensor mesh
+    with channel-sharded params; and the -spatial/-tensor conflict is
+    rejected before any compile."""
+    out = _main(
+        "-netType", "cifar/nmg", "-dataset", "cifar100-whitened",
+        "-data", "synthetic", "-synthSize", "64", "-nLayer", "1",
+        "-batchSize", "8", "-imageSize", "36", "-imageCrop", "32",
+        "-nGPU", "4", "-tensor", "2", "-nDonkeys", "0",
+        "-cache", str(tmp_path),
+        "-nEpochs", "1", "-epochSize", "2", "-train", "-test",
+    )
+    assert re.search(r"avg\.loss:[0-9.]+", out), out[-800:]
+
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "mgtpu.main", "-netType", "cifar/nmg",
+         "-dataset", "cifar100-whitened", "-data", "synthetic",
+         "-spatial", "2", "-tensor", "2", "-cache", str(tmp_path),
+         "-train"],
+        capture_output=True, text=True, timeout=240, env=env, cwd=REPO,
+    )
+    assert r.returncode != 0
+    assert "-spatial and -tensor" in (r.stdout + r.stderr)
+
+
 def test_cifar_eval_split_cli(tmp_path):
     """-evalSplit makes -eval real for CIFAR: eval epoch runs on the
     carved split with no fallback warning; -evalSplit 0 keeps the loud
