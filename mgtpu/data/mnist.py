@@ -103,18 +103,32 @@ class SaliencyDataset(PairedDataset):
     """Test-only loader whose hook expands each sample into a 1+841
     stack of occluded variants (`dataset/mnist-saliency/donkey.lua:
     40-45`); exposes `.mask` to the saliency pipeline
-    (`pipelines/saliency/test.lua:36`)."""
+    (`pipelines/saliency/test.lua:36`).
 
-    def __init__(self, inputs, targets, mask):
-        occl = tf.occlusion(mask)
+    ``expand="device"`` (the -saliencyDumpStack 0 fast path) returns
+    only the NORMALIZED base image and exposes `.noise`/`.meanstd` so
+    the pipeline builds the identical stack on device — the occlusion
+    expansion is a deterministic affine function of (img, mask, noise),
+    so only ~16 KB/sample ever crosses the host-device link instead of
+    the 13.8 MB stack."""
+
+    def __init__(self, inputs, targets, mask, expand: str = "host"):
+        assert expand in ("host", "device")
         norm = tf.color_normalize(*MNIST_MEANSTD)
+        if expand == "host":
+            occl = tf.occlusion(mask)
 
-        def hook(img, rng):
-            stack = occl(img, rng)
-            return norm(stack, rng)
+            def hook(img, rng):
+                stack = occl(img, rng)
+                return norm(stack, rng)
 
+        else:
+            hook = norm  # base image only; occlusion happens on device
         super().__init__(inputs, targets, train_hook=None, test_hook=hook)
         self.mask = mask
+        self.expand = expand
+        self.noise = tf.occlusion_noise(mask)
+        self.meanstd = MNIST_MEANSTD
 
 
 def build_mnist_saliency(opt):
@@ -133,5 +147,10 @@ def build_mnist_saliency(opt):
         z = np.load(path)
         tei, tet = z["test_inputs"], z["test_targets"]
     mask = occlusion_masks()
-    test = SaliencyDataset(tei, tet, mask)
+    expand = (
+        "device"
+        if not int(getattr(opt, "saliencyDumpStack", 1))
+        else "host"
+    )
+    test = SaliencyDataset(tei, tet, mask, expand=expand)
     return {"test": test}

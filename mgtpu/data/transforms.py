@@ -379,13 +379,20 @@ def gamma_jitter(gammas: Sequence[float]) -> Transform:
     return f
 
 
+def occlusion_noise(mask: np.ndarray, rng_seed: int = 0) -> np.ndarray:
+    """The fixed in-mask uniform noise the occlusion transform adds —
+    exposed separately so the saliency pipeline's device-side stack
+    expansion (-saliencyDumpStack 0) uses the IDENTICAL values."""
+    noise_rng = np.random.default_rng(rng_seed)
+    return (noise_rng.uniform(size=mask.shape) * mask).astype(np.float32)
+
+
 def occlusion(mask: np.ndarray, rng_seed: int = 0) -> Transform:
     """Expand one sample into 1+N occluded variants (`transforms.lua:
     356-378`): variant i = img * (1-mask_i) + noise_i where noise is
     fixed uniform inside the mask. mask: (N, H, W, C or 1)."""
     assert mask.ndim == 4
-    noise_rng = np.random.default_rng(rng_seed)
-    noise = (noise_rng.uniform(size=mask.shape) * mask).astype(np.float32)
+    noise = occlusion_noise(mask, rng_seed)
     inv = (mask == 0).astype(np.float32)
 
     def f(img, rng):

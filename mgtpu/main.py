@@ -39,17 +39,26 @@ def main(argv=None):
 
     # persistent XLA compilation cache: R-MG compiles take minutes on
     # TPU; restarts/resumes hit the cache instead (best-effort; shared
-    # across runs under the -cache root)
-    try:
-        import jax
+    # across runs under the -cache root). EXCEPT through a remote-relay
+    # backend (JAX_PLATFORMS=axon): there compiles run server-side in
+    # seconds (PALLAS_AXON_REMOTE_COMPILE) while loading a locally
+    # cached executable back through the tunnel measured 214 s vs the
+    # 11 s fresh compile it was supposed to save — a 20x own-goal. So
+    # the cache is on unless the relay backend is active; override
+    # either way with MGTPU_COMPILE_CACHE=1/0.
+    env_cc = os.environ.get("MGTPU_COMPILE_CACHE")
+    on_relay = os.environ.get("JAX_PLATFORMS", "") == "axon"
+    if env_cc == "1" or (env_cc != "0" and not on_relay):
+        try:
+            import jax
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.abspath(opt.cache), ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.abspath(opt.cache), ".jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
 
     from mgtpu.pipelines.standard import Session
 
@@ -68,6 +77,9 @@ def main(argv=None):
 
             standard.run(sess)
     finally:
+        from mgtpu.utils.checkpoint import join_pending_saves
+
+        join_pending_saves()  # don't exit under an in-flight ckpt write
         sess.pool.shutdown()
 
 

@@ -360,6 +360,10 @@ def run(sess: Session):
             test(sess)
         if opt.train and epoch % opt.nEpochsSave == 0:
             path = os.path.join(opt.save, f"model_{epoch}.ckpt")
+            # async: the D2H fetch happens inside the call (donation
+            # safety); the npz write overlaps the next epoch's compute.
+            # main.py joins before process exit; load_checkpoint joins
+            # before reading.
             save_checkpoint(path, sess.params, sess.stats, sess.opt_state,
-                            epoch, sess.meta)
+                            epoch, sess.meta, async_write=True)
             print(f"checkpoint -> {path}")

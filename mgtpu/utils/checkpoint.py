@@ -90,8 +90,42 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# -- async write plumbing -------------------------------------------------
+# One pending writer thread at most: a new save (or any load) joins the
+# previous one first, and mgtpu.main joins in its `finally`, so a crash
+# mid-run leaves at worst an orphaned `.tmp` — never a torn checkpoint
+# (the visible file only ever appears via os.replace).
+import threading
+
+_pending_save: Optional[threading.Thread] = None
+
+
+def join_pending_saves() -> None:
+    """Block until any in-flight async checkpoint write has completed."""
+    global _pending_save
+    if _pending_save is not None:
+        _pending_save.join()
+        _pending_save = None
+
+
+def _write_npz(path: str, struct_json: str, arrays: list) -> None:
+    tmp = path + ".tmp"
+    # savez on a file OBJECT so numpy does not append ".npz" to our name
+    with open(tmp, "wb") as f:
+        np.savez(f, __struct__=struct_json,
+                 **{f"a{i}": x for i, x in enumerate(arrays)})
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, params, stats, opt_state=None, epoch: int = 0,
-                    meta: Optional[Dict[str, Any]] = None):
+                    meta: Optional[Dict[str, Any]] = None,
+                    async_write: bool = False):
+    """Write a checkpoint. With ``async_write`` the device->host fetch
+    still happens HERE (it must: the session's donated train step will
+    invalidate these buffers on its next dispatch) but the npz
+    serialization + disk write move to a background thread, so training
+    resumes while the bytes land. At most one write is in flight."""
+    global _pending_save
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays: list = []
     struct = {
@@ -105,12 +139,17 @@ def save_checkpoint(path: str, params, stats, opt_state=None, epoch: int = 0,
         if opt_state is not None
         else None,
     }
-    tmp = path + ".tmp"
-    # savez on a file OBJECT so numpy does not append ".npz" to our name
-    with open(tmp, "wb") as f:
-        np.savez(f, __struct__=json.dumps(struct),
-                 **{f"a{i}": x for i, x in enumerate(arrays)})
-    os.replace(tmp, path)
+    sjson = json.dumps(struct)
+    if not async_write:
+        _write_npz(path, sjson, arrays)
+        return
+    join_pending_saves()
+    t = threading.Thread(
+        target=_write_npz, args=(path, sjson, arrays),
+        name="mgtpu-ckpt-writer", daemon=True,
+    )
+    t.start()
+    _pending_save = t
 
 
 def _load_pickle_legacy(path: str) -> Dict[str, Any]:
@@ -123,6 +162,7 @@ def _load_pickle_legacy(path: str) -> Dict[str, Any]:
 def load_checkpoint(path: str, allow_pickle: bool = False) -> Dict[str, Any]:
     """Load a checkpoint. Never unpickles unless `allow_pickle=True`
     (CLI: -allowPickleCkpt), which migrates round-1 pickle blobs."""
+    join_pending_saves()  # a just-dispatched async save must be visible
     if not zipfile.is_zipfile(path):
         if not allow_pickle:
             raise ValueError(

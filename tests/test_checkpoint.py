@@ -138,3 +138,31 @@ def test_checkpoint_rejects_non_str_keys(tmp_path):
     with pytest.raises(TypeError, match="keys must be str"):
         save_checkpoint(str(tmp_path / "bad.ckpt"),
                         {0: np.zeros(2)}, {}, None, 1, {})
+
+
+def test_async_save_matches_sync(tmp_path):
+    """async_write moves only the npz write off-thread: the file a
+    joined async save leaves behind is byte-identical in content to a
+    sync save, and an immediate load (which joins internally) sees it."""
+    opt, net, model, params, stats, opt_state, step, _ = _trained_state()
+    meta = model_meta(types.SimpleNamespace(
+        netType="cifar/nmg", nLayer=1, dataset="cifar100-whitened"))
+    p_sync = str(tmp_path / "sync.ckpt")
+    p_async = str(tmp_path / "async.ckpt")
+    save_checkpoint(p_sync, params, stats, opt_state, epoch=3, meta=meta)
+    save_checkpoint(p_async, params, stats, opt_state, epoch=3, meta=meta,
+                    async_write=True)
+    # no manual join: load_checkpoint must join the in-flight write
+    a = load_checkpoint(p_async)
+    s = load_checkpoint(p_sync)
+    assert a["epoch"] == s["epoch"] == 3 and a["meta"] == s["meta"]
+    for ka, ks in zip(jax.tree.leaves(a["params"]), jax.tree.leaves(s["params"])):
+        np.testing.assert_array_equal(ka, ks)
+    for ka, ks in zip(jax.tree.leaves(a["opt_state"]), jax.tree.leaves(s["opt_state"])):
+        np.testing.assert_array_equal(ka, ks)
+    # back-to-back async saves serialize (at most one in flight)
+    save_checkpoint(p_async, params, stats, opt_state, epoch=4, meta=meta,
+                    async_write=True)
+    save_checkpoint(p_async, params, stats, opt_state, epoch=5, meta=meta,
+                    async_write=True)
+    assert load_checkpoint(p_async)["epoch"] == 5
