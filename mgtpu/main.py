@@ -28,6 +28,15 @@ def main(argv=None):
 
         init_multihost()
 
+        # non-primary processes get a per-process run dir: on a shared
+        # filesystem every process writing opts.json/logs into the same
+        # dir would interleave; checkpoints/h5 additionally stay
+        # primary-only (standard.py gates on is_primary)
+        import jax
+
+        if jax.process_index() != 0:
+            opt.save = os.path.join(opt.save, f"proc{jax.process_index()}")
+
     random.seed(opt.manualSeed)
     np.random.seed(opt.manualSeed)
 

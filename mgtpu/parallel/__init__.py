@@ -1,4 +1,6 @@
 from mgtpu.parallel.mesh import (
+    fetch_global,
+    is_primary,
     make_mesh,
     shard_batch,
     replicate,

@@ -42,6 +42,29 @@ def init_multihost() -> None:
     )
 
 
+def is_primary() -> bool:
+    """True on the process that owns run artifacts (checkpoints, h5
+    dumps). Single-host (the reference's scope, `multigpu.lua:85`) is
+    always primary; under -multihost only process 0 writes — params are
+    replicated across processes, so its copy is canonical."""
+    return jax.process_index() == 0
+
+
+def fetch_global(x) -> np.ndarray:
+    """Fetch a (possibly multi-process-sharded) array to host numpy.
+
+    Single-process: plain np.asarray. Multi-process: a global array's
+    shards live on other hosts, so np.asarray would raise
+    (non-addressable); all-gather the batch shards over DCN first —
+    every process gets the full value, keeping the eval loop SPMD (all
+    processes take the same branches on the result)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None,
               model_axis: str = "model") -> Mesh:
     """data × model device mesh. ``model_axis`` names the second axis

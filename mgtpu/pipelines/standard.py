@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mgtpu.parallel.mesh import fetch_global, is_primary
 from mgtpu.utils.logging import EpochLogger, fmt_metrics, now
 
 
@@ -306,14 +307,18 @@ def _eval_loop(sess: Session, mode: str):
                 xp, yp = x, y
             batch = sess._shard({"x": xp, "y": yp})
             metrics, out = step(sess.params, sess.stats, batch)
+            if pad or collect:
+                # multi-process: batch shards live on other hosts, so
+                # all-gather before any host-side slice/dump (no-op
+                # passthrough to numpy single-process)
+                out = fetch_global(out)
             if pad:
-                out = jnp.asarray(out)[:n]
-                metrics = metrics_fn(out, jnp.asarray(y))
+                out = out[:n]
+                metrics = metrics_fn(jnp.asarray(out), jnp.asarray(y))
             mvals = {k: float(v) for k, v in metrics.items()}
             _acc_update(acc, mvals, n)
             if collect:
-                out_t = np.asarray(out)
-                for k, v in sess.net.stored_outputs(out_t).items():
+                for k, v in sess.net.stored_outputs(np.asarray(out)).items():
                     stored.setdefault(k, []).append(np.asarray(v))
 
     means = _acc_mean(acc)
@@ -325,7 +330,7 @@ def _eval_loop(sess: Session, mode: str):
     print()
     sess.logger(mode).add({f"avg.{k} ({mode} set)": v for k, v in means.items()})
 
-    if mode == "test" and stored:
+    if mode == "test" and stored and is_primary():
         import h5py
 
         path = os.path.join(opt.save, f"testOutput_{sess.epoch}.h5")
@@ -358,7 +363,7 @@ def run(sess: Session):
             evaluate(sess)
         if opt.test and epoch % opt.nEpochsTest == 0:
             test(sess)
-        if opt.train and epoch % opt.nEpochsSave == 0:
+        if opt.train and epoch % opt.nEpochsSave == 0 and is_primary():
             path = os.path.join(opt.save, f"model_{epoch}.ckpt")
             # async: the D2H fetch happens inside the call (donation
             # safety); the npz write overlaps the next epoch's compute.
