@@ -111,7 +111,8 @@ class Session:
         self.train_step = jax.jit(
             make_train_step(self.model, self.loss_fn, self.net,
                             iter_size=opt.iterSize, momentum=opt.momentum,
-                            remat=getattr(opt, "remat", False)),
+                            remat=getattr(opt, "remat", False),
+                            bucket_sgd=not self._tensor),
             donate_argnums=(0, 1, 2),
         )
         from mgtpu.train.step import make_tencrop_eval_step

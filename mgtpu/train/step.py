@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 
 def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0.9,
-                    remat: bool = False):
+                    remat: bool = False, bucket_sgd: bool = True):
     """Returns train_step(params, stats, opt_state, batch, lr, wd, rng)
     -> (params, stats, opt_state, metrics).
 
@@ -59,7 +59,9 @@ def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0
             )
             grads = jax.tree.map(lambda g: g / iter_size, gsum)
             metrics = jax.tree.map(jnp.mean, ms)
-        params, opt_state = sgd_update(params, grads, opt_state, lr, wd, momentum)
+        params, opt_state = sgd_update(
+            params, grads, opt_state, lr, wd, momentum, bucket=bucket_sgd
+        )
         return params, stats, opt_state, metrics
 
     return train_step

@@ -41,6 +41,34 @@ def test_sgd_matches_reference_semantics():
     np.testing.assert_allclose(np.asarray(st2["m"]["w"]), exp_m2, rtol=1e-6)
 
 
+def test_sgd_bucketed_matches_per_leaf():
+    """The multi-tensor (bucketed) update path must be bit-identical to
+    the per-leaf formulation for a mixed tree: many small leaves (below
+    the bucket threshold), one big leaf (above it), and one leaf of a
+    different dtype (excluded from the bucket)."""
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 8)
+    p = {
+        "bn": {f"g{i}": jax.random.normal(ks[i], (64,)) for i in range(4)},
+        "conv": jax.random.normal(ks[4], (3, 3, 64, 64)),  # 36864 > 2^13
+        "half": jax.random.normal(ks[5], (16,)).astype(jnp.bfloat16),
+    }
+    g = jax.tree.map(lambda x: jnp.full_like(x, 0.25), p)
+    st = sgd_init(p)
+    lr, wd, mu = 0.1, 1e-4, 0.9
+    pa, sta = p, st
+    pb, stb = p, st
+    for _ in range(3):
+        pa, sta = jax.jit(
+            lambda P, G, S: sgd_update(P, G, S, lr, wd, mu, bucket=True)
+        )(pa, g, sta)
+        pb, stb = jax.jit(
+            lambda P, G, S: sgd_update(P, G, S, lr, wd, mu, bucket=False)
+        )(pb, g, stb)
+    for a, b in zip(jax.tree.leaves((pa, sta)), jax.tree.leaves((pb, stb))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow  # compile-heavy; fast tier keeps test_dp_matches_single_device + grad-accum
 def test_train_step_runs_and_learns():
     net, model, params, stats, loss_fn, step = _setup()
