@@ -21,7 +21,12 @@ against the published 5.76G by tools/model_info.py + tests/test_tools
 .py) — the TPU formulation's dilated up-convs would inflate the count
 without representing more useful work.
 
-Usage: python bench.py [batch] [--no-train]
+With --int8, the object also carries "int8_value": the same forward
+with PTQ conv kernels (`mgtpu/ops/quant.py`, the `-int8` CLI path) —
+int8 ops/img equal the bf16 FLOPs/img, so "int8_mxu_util" is computed
+against the chip's doubled int8 peak.
+
+Usage: python bench.py [batch] [--no-train] [--int8]
 """
 
 import json
@@ -146,6 +151,20 @@ def main():
         "infer_mfu": round(ips * infer_flops / peak, 4),
         "train_ceiling": round(peak / train_flops, 1),
     }
+    if "--int8" in sys.argv:
+        from mgtpu.ops.quant import quantize_params
+
+        q = jax.jit(quantize_params)(params)
+        qips = bench_infer(model, q, stats, batch)
+        result["int8_value"] = round(qips, 1)
+        result["int8_vs_bf16"] = round(qips / ips, 3)
+        # int8 peak = 2x the bf16 peak on every TPU gen in _PEAK
+        result["int8_mxu_util"] = round(qips * infer_flops / (2 * peak), 4)
+        print(
+            f"int8 inference: {qips:.1f} images/sec/chip "
+            f"({qips / ips:.2f}x bf16)",
+            file=sys.stderr,
+        )
     if with_train:
         tips = bench_train(model, net, opt, params, stats, batch)
         result["train_value"] = round(tips, 1)

@@ -100,15 +100,23 @@ class Conv:
         return p, {}
 
     def apply(self, p, s, x, *, train=False, rng=None):
-        w = cast_to(p["w"], self.dtype)
-        x = cast_to(x, self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=(self.stride, self.stride),
-            padding=[(self.pad, self.pad), (self.pad, self.pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        from mgtpu.ops.quant import conv_i8, is_quantized, quantize_act
+
+        if is_quantized(p["w"]):  # int8 serving path (ops/quant.py)
+            x8, sx = quantize_act(x)
+            acc = conv_i8(x8, p["w"]["w8"], self.stride, self.pad)
+            y = (acc.astype(jnp.float32) * (sx * p["w"]["scale"]))
+            y = cast_to(y, self.dtype)
+        else:
+            w = cast_to(p["w"], self.dtype)
+            x = cast_to(x, self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(self.stride, self.stride),
+                padding=[(self.pad, self.pad), (self.pad, self.pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.bias:
             y = y + cast_to(p["b"], y.dtype)
         return y, s
@@ -400,9 +408,12 @@ class ConvBN:
         at fine resolution."""
         rng = _as_rngs(rng)
         from mgtpu.ops.mg import materialize_part  # cycle-free at call time
+        from mgtpu.ops.quant import conv_i8, is_quantized, quantize_act
         from mgtpu.ops.resample import upsample_nearest2
 
         w = p["conv"]["w"]
+        quant = is_quantized(w)
+        c_in_total = w["w8"].shape[2] if quant else w.shape[2]
         drop_live = self.drop is not None and self.dropout_pos == "before" and train
         oh = ow = None
         for kind, xp in parts:
@@ -412,14 +423,30 @@ class ConvBN:
         ofs = 0
         for kind, xp in parts:
             c = xp.shape[-1]
-            ws = cast_to(w[:, :, ofs : ofs + c, :], self.dtype)
+            if quant:
+                # int8 serving: slice the quantized kernel on its input
+                # channels (conv(concat(xs), W) = sum_i conv(x_i, W_i)
+                # holds for the int32 accumulators too; the per-co scale
+                # is shared by construction). The up-fold is skipped —
+                # a derived _conv_up3 kernel would need requantizing —
+                # so the up part is materialized first.
+                ws8 = w["w8"][:, :, ofs : ofs + c, :]
+            else:
+                ws = cast_to(w[:, :, ofs : ofs + c, :], self.dtype)
             ofs += c
-            if kind == "up" and drop_live:
+            if kind == "up" and (drop_live or quant):
                 xp = materialize_part(kind, xp, oh, ow)
                 kind = "same"
             xp = cast_to(xp, self.dtype)
             if self.drop is not None and self.dropout_pos == "before":
                 xp, _ = self.drop.apply({}, {}, xp, train=train, rng=rng)
+            if quant:
+                x8, sx = quantize_act(xp)
+                acc = conv_i8(x8, ws8, self.conv.stride, self.conv.pad)
+                yy = cast_to(acc.astype(jnp.float32) * (sx * w["scale"]),
+                             self.dtype)
+                y = yy if y is None else y + yy
+                continue
             exact2x = kind == "up" and oh == 2 * xp.shape[1] and ow == 2 * xp.shape[2]
             if (exact2x and self.k == 3 and self.conv.stride == 1
                     and self.conv.pad == 1):
@@ -442,7 +469,7 @@ class ConvBN:
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
             y = yy if y is None else y + yy
-        assert ofs == w.shape[2], (ofs, w.shape)
+        assert ofs == c_in_total, (ofs, c_in_total)
         if self.conv.bias:
             y = y + cast_to(p["conv"]["b"], y.dtype)
         y, sb = self.bn.apply(p["bn"], s["bn"], y, train=train)

@@ -87,6 +87,18 @@ class Session:
         else:
             params, stats = jax.jit(self.model.init)(key)
             opt_state = sgd_init(params)
+        if getattr(opt, "int8", False):
+            if opt.train:
+                raise SystemExit("-int8 is an inference-only path; drop -train")
+            if self._tensor:
+                raise SystemExit("-int8 does not compose with -tensor "
+                                 "(channel-sharding rules assume float "
+                                 "kernel leaves)")
+            from mgtpu.ops.quant import quantize_params
+
+            params = quantize_params(params)
+            print("==> int8: conv kernels quantized (per-channel weights, "
+                  "dynamic per-tensor activations, int32 MXU accumulation)")
         if self._tensor:
             place = lambda tree: shard_params_tp(self.mesh, tree)
         else:

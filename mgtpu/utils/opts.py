@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-remat", action="store_true",
                    help="rematerialize activations in the backward pass "
                         "(jax.checkpoint): slower, fits larger batches")
+    p.add_argument("-int8", action="store_true",
+                   help="post-training int8 quantization of conv kernels "
+                        "for inference (-test/-eval only): weights "
+                        "per-channel static, activations per-tensor "
+                        "dynamic, int32 MXU accumulation (ops/quant.py). "
+                        "Incompatible with -train")
     p.add_argument("-donkeyMode", default="thread", choices=["thread", "process"],
                    help="donkey pool concurrency: threads share loaders "
                         "under the GIL; processes rebuild loaders per "

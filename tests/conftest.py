@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU tests (and every subprocess they spawn) must not depend on the
+# remote-TPU relay being healthy: the box's sitecustomize calls the
+# axon register() at EVERY interpreter start when PALLAS_AXON_POOL_IPS
+# is set, which blocks for minutes if the relay tunnel is down.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax
 

@@ -1,0 +1,169 @@
+"""int8 PTQ serving path (`mgtpu/ops/quant.py`, `-int8`).
+
+The reference has no quantized path (Torch7/CUDA fp32 throughout) —
+this is a TPU-native serving addition, so the tests pin our own
+contract: quantization error bounds, the split-kernel identity the
+fused-exchange path relies on, pytree hygiene (sharding/checkpointing
+see only ordinary leaves), and the end-to-end CLI accuracy of a
+quantized model vs its float parent.
+"""
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from mgtpu import nn
+from mgtpu.ops.quant import (
+    conv_i8,
+    is_quantized,
+    quantize_act,
+    quantize_kernel,
+    quantize_params,
+)
+
+
+def test_quantize_kernel_bounds():
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 16, 24)) * 0.1
+    q = quantize_kernel(w)
+    assert q["w8"].dtype == jnp.int8 and q["scale"].shape == (24,)
+    deq = q["w8"].astype(jnp.float32) * q["scale"]
+    # symmetric round-to-nearest: per-element error <= scale/2
+    err = jnp.abs(deq - w)
+    assert jnp.all(err <= q["scale"] / 2 + 1e-7)
+    # zero kernel must not divide by zero
+    q0 = quantize_kernel(jnp.zeros((3, 3, 4, 4)))
+    assert jnp.all(q0["w8"] == 0) and jnp.all(jnp.isfinite(q0["scale"]))
+
+
+def test_quantized_conv_matches_float():
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (2, 8, 8, 16))
+    w = jax.random.normal(kw, (3, 3, 16, 24)) * 0.1
+    conv = nn.Conv(16, 24, 3, 1)
+    ref, _ = conv.apply({"w": w, "b": jnp.zeros(24)}, {}, x)
+    q = quantize_kernel(w)
+    got, _ = conv.apply({"w": q, "b": jnp.zeros(24)}, {}, x)
+    assert is_quantized(q)
+    # w8*x8 with 8-bit operands: relative error ~1% is the scheme's
+    # design point (127 levels each side)
+    rel = jnp.abs(got - ref) / (jnp.max(jnp.abs(ref)) + 1e-6)
+    assert float(jnp.max(rel)) < 0.03, float(jnp.max(rel))
+
+
+def test_split_kernel_identity_int8():
+    """conv(concat(xs), W) == sum_i conv(x_i, W_i) must hold EXACTLY
+    for the int32 accumulators — apply_parts slices the quantized
+    kernel on input channels (nn.py ConvBN.apply_parts)."""
+    kx, ky, kw = jax.random.split(jax.random.PRNGKey(2), 3)
+    xa = (jax.random.normal(kx, (2, 8, 8, 8)) * 10).astype(jnp.int8)
+    xb = (jax.random.normal(ky, (2, 8, 8, 8)) * 10).astype(jnp.int8)
+    w8 = (jax.random.normal(kw, (3, 3, 16, 8)) * 10).astype(jnp.int8)
+    full = conv_i8(jnp.concatenate([xa, xb], -1), w8, 1, 1)
+    split = conv_i8(xa, w8[:, :, :8], 1, 1) + conv_i8(xb, w8[:, :, 8:], 1, 1)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
+
+def test_quantize_act_dynamic():
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4, 4)) * 7.0
+    x8, sx = quantize_act(x)
+    assert x8.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(x8, np.float32) * float(sx), np.asarray(x),
+        atol=float(sx) / 2 + 1e-6,
+    )
+
+
+def test_quantize_params_selectivity():
+    params = {
+        "0": {"conv": {"w": jnp.ones((3, 3, 4, 8)), "b": jnp.zeros(8)}},
+        "1": {"w": jnp.ones((2, 2, 8, 4))},   # ConvTranspose upsampler
+        "2": {"w": jnp.ones((16, 10)), "b": jnp.zeros(10)},  # Linear
+    }
+    q = quantize_params(params)
+    assert is_quantized(q["0"]["conv"]["w"])
+    assert not is_quantized(q["1"]["w"]) and q["1"]["w"].shape == (2, 2, 8, 4)
+    assert not is_quantized(q["2"]["w"])
+    # still an ordinary pytree: same treedef class, jax.tree works
+    leaves = jax.tree.leaves(q)
+    assert all(hasattr(l, "dtype") for l in leaves)
+
+
+def test_convbn_apply_parts_quantized():
+    """The fused-exchange path under int8: up-part materialized first,
+    result close to the float path."""
+    m = nn.ConvBN(24, 16, 3, 1)
+    p, s = m.init(jax.random.PRNGKey(4))
+    kx, ky = jax.random.split(jax.random.PRNGKey(5))
+    same = jax.random.normal(kx, (2, 8, 8, 16))
+    up = jax.random.normal(ky, (2, 4, 4, 8))
+    parts = [("same", same), ("up", up)]
+    ref, _ = m.apply_parts(p, s, parts)
+    pq = quantize_params(p)
+    got, _ = m.apply_parts(pq, s, parts)
+    rel = jnp.abs(got - ref) / (jnp.max(jnp.abs(ref)) + 1e-6)
+    assert float(jnp.max(rel)) < 0.08, float(jnp.max(rel))
+
+
+def _main(*args, expect_ok=True, timeout=560):
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "mgtpu.main", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    if expect_ok:
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    return r
+
+
+def test_int8_rejects_train(tmp_path):
+    r = _main(
+        "-netType", "cifar/nmg", "-dataset", "cifar100-whitened",
+        "-data", "synthetic", "-synthSize", "32", "-batchSize", "8",
+        "-imageSize", "36", "-imageCrop", "32",
+        "-nGPU", "1", "-nDonkeys", "0", "-cache", str(tmp_path),
+        "-nEpochs", "1", "-epochSize", "1", "-train", "-int8",
+        expect_ok=False,
+    )
+    assert r.returncode != 0
+    assert "inference-only" in (r.stdout + r.stderr)
+
+
+@pytest.mark.slow
+def test_int8_cli_accuracy(tmp_path):
+    """Train a small float model, then re-test its checkpoint under
+    -int8: top-1 must stay within a few points of the float number."""
+    common = [
+        "-netType", "cifar/nmg", "-dataset", "cifar100-whitened",
+        "-data", "synthetic", "-synthSize", "64", "-batchSize", "16",
+        "-imageSize", "36", "-imageCrop", "32",
+        "-nGPU", "1", "-nDonkeys", "0", "-cache", str(tmp_path),
+    ]
+    out = _main(*common, "-nEpochs", "2", "-epochSize", "4",
+                "-train", "-test").stdout
+    ckpts = glob.glob(str(tmp_path / "**" / "model_2.ckpt"), recursive=True)
+    assert len(ckpts) == 1
+    m = re.findall(r"avg\.loss:([0-9.]+)", out)
+    assert m, out[-800:]
+    fp_loss = float(m[-1])
+
+    out8 = _main(*common, "-nEpochs", "1", "-retrain", ckpts[0],
+                 "-test", "-int8").stdout
+    assert "int8: conv kernels quantized" in out8
+    m8 = re.search(r"avg\.loss:([0-9.]+)", out8)
+    assert m8, out8[-800:]
+    # PTQ on a barely-trained model: loss within 5% of float
+    np.testing.assert_allclose(float(m8.group(1)), fp_loss, rtol=0.05)

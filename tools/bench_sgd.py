@@ -30,18 +30,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(tree):
+    # fetch a VALUE: on the axon-relay platform block_until_ready
+    # under-waits (bench.py:_sync) — only a value fetch of the LAST
+    # output proves the FIFO device stream drained
+    return float(jax.tree.leaves(tree)[0].reshape(-1)[0])
+
+
 def time_update(fn, params, grads, m, iters=30, warmup=5):
     f = jax.jit(fn, donate_argnums=(0, 2))
     p, mm = params, m
     for _ in range(warmup):
         p, mm = f(p, grads, mm)
-    jax.block_until_ready((p, mm))
+    _sync(p)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             p, mm = f(p, grads, mm)
-        jax.block_until_ready((p, mm))
+        _sync(p)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best, (p, mm)
 
