@@ -167,3 +167,42 @@ def test_int8_cli_accuracy(tmp_path):
     assert m8, out8[-800:]
     # PTQ on a barely-trained model: loss within 5% of float
     np.testing.assert_allclose(float(m8.group(1)), fp_loss, rtol=0.05)
+
+
+@pytest.mark.slow  # two jax.export compiles
+def test_int8_export_artifact(tmp_path):
+    """-int8 export: artifact shrinks (int8 conv constants) and the
+    deserialized forward stays close to the float model."""
+    import types
+
+    from jax import export as jexport
+
+    from mgtpu.models import get_net
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    arts = {}
+    for tag, extra in [("fp", []), ("i8", ["-int8"])]:
+        art = tmp_path / f"mg6_{tag}.shlo"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+             "-netType", "cifar/nmg", "-nLayer", "1", "-batch", "2",
+             "-imageCrop", "32", "-dtype", "float32",
+             "-platforms", "cpu", "-out", str(art), *extra],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        arts[tag] = art
+    # conv kernels dominate the constants: int8 must shrink the blob
+    assert arts["i8"].stat().st_size < 0.45 * arts["fp"].stat().st_size
+
+    with open(arts["i8"], "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(exp.call(jnp.asarray(x)))
+    net = get_net("cifar/nmg")
+    model = net.create_model(types.SimpleNamespace(nLayer=1, nEpochs=200,
+                                                   shortcutType="A"))
+    params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
+    ref = np.asarray(model.apply(params, stats, jnp.asarray(x), train=False)[0])
+    rel = np.abs(got - ref) / (np.max(np.abs(ref)) + 1e-6)
+    assert float(rel.max()) < 0.08, float(rel.max())

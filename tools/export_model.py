@@ -47,6 +47,10 @@ def main():
     ap.add_argument("-out", required=True)
     ap.add_argument("-allow-pickle", dest="allow_pickle", action="store_true",
                     help="permit legacy pickle checkpoints (trusted files only)")
+    ap.add_argument("-int8", dest="int8", action="store_true",
+                    help="post-training-quantize conv kernels before export "
+                         "(mgtpu/ops/quant.py): ~4x smaller conv constants "
+                         "in the artifact, int8 MXU rate at serve time")
     ap.add_argument("-platforms", nargs="*", default=None,
                     help="lowering platforms, e.g. -platforms tpu cpu "
                          "(default: the current backend)")
@@ -67,6 +71,10 @@ def main():
         params, stats = ckpt["params"], ckpt["stats"]
     else:
         params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
+    if args.int8:
+        from mgtpu.ops.quant import quantize_params
+
+        params = jax.jit(quantize_params)(params)
 
     @jax.jit
     def fwd(x):
@@ -80,7 +88,8 @@ def main():
     data = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(data)
-    print(f"exported {args.netType} fwd (batch {args.batch}, {args.dtype}) "
+    kind = f"{args.dtype}+int8" if args.int8 else args.dtype
+    print(f"exported {args.netType} fwd (batch {args.batch}, {kind}) "
           f"-> {args.out} ({len(data) / 1e6:.1f} MB, "
           f"platforms {exp.platforms})")
 
