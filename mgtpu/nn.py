@@ -100,10 +100,13 @@ class Conv:
         return p, {}
 
     def apply(self, p, s, x, *, train=False, rng=None):
-        from mgtpu.ops.quant import conv_i8, is_quantized, quantize_act
+        from mgtpu.ops.quant import conv_i8, is_quantized, quantize_act, record_scale
 
         if is_quantized(p["w"]):  # int8 serving path (ops/quant.py)
-            x8, sx = quantize_act(x)
+            sx_cal = p["w"].get("sx")  # calibrated static scale (slot 0)
+            x8, sx = quantize_act(x, None if sx_cal is None else sx_cal[0])
+            if sx_cal is None:
+                record_scale(p["w"], 0, sx)
             acc = conv_i8(x8, p["w"]["w8"], self.stride, self.pad)
             y = (acc.astype(jnp.float32) * (sx * p["w"]["scale"]))
             y = cast_to(y, self.dtype)
@@ -408,12 +411,18 @@ class ConvBN:
         at fine resolution."""
         rng = _as_rngs(rng)
         from mgtpu.ops.mg import materialize_part  # cycle-free at call time
-        from mgtpu.ops.quant import conv_i8, is_quantized, quantize_act
+        from mgtpu.ops.quant import (
+            conv_i8,
+            is_quantized,
+            quantize_act,
+            record_scale,
+        )
         from mgtpu.ops.resample import upsample_nearest2
 
         w = p["conv"]["w"]
         quant = is_quantized(w)
         c_in_total = w["w8"].shape[2] if quant else w.shape[2]
+        sx_cal = w.get("sx") if quant else None  # calibrated static scales
         drop_live = self.drop is not None and self.dropout_pos == "before" and train
         oh = ow = None
         for kind, xp in parts:
@@ -421,7 +430,7 @@ class ConvBN:
                 oh, ow = xp.shape[1], xp.shape[2]
         y = None
         ofs = 0
-        for kind, xp in parts:
+        for slot, (kind, xp) in enumerate(parts):
             c = xp.shape[-1]
             if quant:
                 # int8 serving: slice the quantized kernel on its input
@@ -429,24 +438,32 @@ class ConvBN:
                 # holds for the int32 accumulators too; the per-co scale
                 # is shared by construction). The up-fold is skipped —
                 # a derived _conv_up3 kernel would need requantizing —
-                # so the up part is materialized first.
+                # but the up part is quantized at COARSE resolution and
+                # nearest-upsampled as int8 (exact: nearest only
+                # duplicates values), so the materialized tensor costs
+                # int8 bytes, not bf16.
                 ws8 = w["w8"][:, :, ofs : ofs + c, :]
-            else:
-                ws = cast_to(w[:, :, ofs : ofs + c, :], self.dtype)
-            ofs += c
-            if kind == "up" and (drop_live or quant):
-                xp = materialize_part(kind, xp, oh, ow)
-                kind = "same"
-            xp = cast_to(xp, self.dtype)
-            if self.drop is not None and self.dropout_pos == "before":
-                xp, _ = self.drop.apply({}, {}, xp, train=train, rng=rng)
-            if quant:
-                x8, sx = quantize_act(xp)
+                ofs += c
+                x8, sx = quantize_act(
+                    xp, None if sx_cal is None else sx_cal[slot]
+                )
+                if sx_cal is None:
+                    record_scale(w, slot, sx)
+                if kind == "up":
+                    x8 = materialize_part(kind, x8, oh, ow)
                 acc = conv_i8(x8, ws8, self.conv.stride, self.conv.pad)
                 yy = cast_to(acc.astype(jnp.float32) * (sx * w["scale"]),
                              self.dtype)
                 y = yy if y is None else y + yy
                 continue
+            ws = cast_to(w[:, :, ofs : ofs + c, :], self.dtype)
+            ofs += c
+            if kind == "up" and drop_live:
+                xp = materialize_part(kind, xp, oh, ow)
+                kind = "same"
+            xp = cast_to(xp, self.dtype)
+            if self.drop is not None and self.dropout_pos == "before":
+                xp, _ = self.drop.apply({}, {}, xp, train=train, rng=rng)
             exact2x = kind == "up" and oh == 2 * xp.shape[1] and ow == 2 * xp.shape[2]
             if (exact2x and self.k == 3 and self.conv.stride == 1
                     and self.conv.pad == 1):

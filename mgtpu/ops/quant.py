@@ -7,25 +7,40 @@ shapes (`tools/bench_int8.py`, 32-conv chains incl. the requantize):
 quantized path at all (Torch7/CUDA fp32) — this is a TPU-native
 serving addition, reachable via `-int8` (inference-only).
 
-Scheme (weights static, activations dynamic):
+Scheme (weights static, activations dynamic OR calibrated-static):
   - weights: per-output-channel symmetric int8,
     scale[co] = max|w[:, :, :, co]| / 127 — folded into the dequant
-  - activations: per-tensor dynamic symmetric int8 — absmax computed
-    on the fly (one fused reduction over an activation XLA was going
-    to read anyway), so no calibration pass or scale store is needed
+  - activations, dynamic mode: per-tensor symmetric int8 — absmax
+    computed on the fly. No calibration pass, but the data-dependent
+    reduction must COMPLETE before the quantize can run, so every conv
+    pays a serialized extra read of its input: measured end-to-end
+    this loses to bf16 (0.88x, PARITY §int8) even though each conv's
+    MACs run 2x.
+  - activations, static mode (`calibrate`, CLI `-int8Calib N`):
+    per-tensor scales recorded as the max dynamic absmax over N
+    calibration batches and FROZEN into the kernel dict ("sx"). The
+    quantize becomes a constant-scale elementwise op XLA fuses into
+    the producing BN/ReLU (or resample) pass — no extra reduction, no
+    serialization — and the conv reads int8 (half the bf16 bytes).
+    This is the serving configuration.
   - accumulation in int32 on the MXU; dequant to the compute dtype,
     then bias/BN/ReLU run unchanged in bf16
 
 A quantized kernel replaces the conv's ``w`` leaf with a dict
-``{"w8": int8(k,k,ci,co), "scale": f32(co,)}`` — still an ordinary
-pytree, so replication/sharding/checkpointing work untouched.
-`nn.Conv.apply` and `nn.ConvBN.apply_parts` branch on that structure.
+``{"w8": int8(k,k,ci,co), "scale": f32(co,)[, "sx": f32(n_slots,)]}``
+— still an ordinary pytree, so replication/sharding/checkpointing work
+untouched. `nn.Conv.apply` and `nn.ConvBN.apply_parts` branch on that
+structure; "sx" slot 0 is the plain conv input, slots of apply_parts
+follow its part order (down/same/up).
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quantize_kernel(w) -> dict:
@@ -42,12 +57,65 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and "w8" in w
 
 
-def quantize_act(x):
-    """Dynamic per-tensor symmetric int8: returns (x8, scale)."""
-    sx = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
-    sx = jnp.maximum(sx, 1e-12)
+def quantize_act(x, sx=None):
+    """Per-tensor symmetric int8: returns (x8, scale). With ``sx``
+    (a calibrated static scale) the absmax reduction is skipped and the
+    quantize is a pure elementwise op; without it the scale is computed
+    dynamically from this tensor."""
+    if sx is None:
+        sx = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     return x8, sx
+
+
+# --- calibration (static activation scales) -------------------------------
+# Collector keyed by (id(kernel dict), slot): while active (eager
+# forwards only — `calibrate` never jits), the nn call sites report each
+# dynamic scale they computed; `calibrate` then freezes the per-slot max
+# into the kernel dict as "sx". Slot 0 = a plain Conv's input; an
+# apply_parts conv numbers its exchange parts in order.
+_CALIB: Optional[dict] = None
+
+
+def record_scale(wdict: dict, slot: int, sx) -> None:
+    """nn call-site hook: report one observed dynamic activation scale.
+    No-op unless a calibration pass is active."""
+    if _CALIB is None:
+        return
+    key = (id(wdict), slot)
+    prev = _CALIB.get(key)
+    val = float(sx)
+    if prev is None or val > prev[1]:
+        _CALIB[key] = (wdict, val)
+
+
+def calibrate(model, params_q, stats, batches):
+    """Run ``batches`` (host arrays, NHWC) through the quantized model
+    eagerly, recording every conv input's dynamic absmax scale; freeze
+    the per-site max over all batches into each kernel dict as "sx".
+    Returns ``params_q`` (mutated in place — the dicts are ordinary
+    pytree nodes, so downstream replication/jit see the new leaves)."""
+    global _CALIB
+    if _CALIB is not None:
+        raise RuntimeError("nested calibration passes")
+    _CALIB = {}
+    try:
+        for x in batches:
+            model.apply(params_q, stats, jnp.asarray(x), train=False)
+    finally:
+        col, _CALIB = _CALIB, None
+    groups: dict = {}
+    for (oid, slot), (wd, val) in col.items():
+        groups.setdefault(oid, (wd, {}))[1][slot] = val
+    for _oid, (wd, slots) in groups.items():
+        # device-committed, NOT host numpy: a numpy leaf inside a jitted
+        # fn's params is re-transferred on every call (measured 2x
+        # end-to-end through the axon relay: 40 tiny H2D puts per step)
+        wd["sx"] = jnp.asarray(
+            [max(slots[i], 1e-12) for i in range(len(slots))], jnp.float32
+        )
+    return params_q
 
 
 def conv_i8(x8, w8, stride, pad):

@@ -87,6 +87,7 @@ class Session:
         else:
             params, stats = jax.jit(self.model.init)(key)
             opt_state = sgd_init(params)
+        self.loaders = get_loaders(opt)
         if getattr(opt, "int8", False):
             if opt.train:
                 raise SystemExit("-int8 is an inference-only path; drop -train")
@@ -94,11 +95,39 @@ class Session:
                 raise SystemExit("-int8 does not compose with -tensor "
                                  "(channel-sharding rules assume float "
                                  "kernel leaves)")
-            from mgtpu.ops.quant import quantize_params
+            from mgtpu.ops.quant import calibrate, quantize_params
 
             params = quantize_params(params)
-            print("==> int8: conv kernels quantized (per-channel weights, "
-                  "dynamic per-tensor activations, int32 MXU accumulation)")
+            n_cal = int(getattr(opt, "int8Calib", 0))
+            if n_cal > 0:
+                # Static activation scales: absmax over n_cal batches
+                # drawn from the train split (same normalize as test;
+                # calibrating on the test split itself would leak).
+                # Falls back to eval/test for inference-only datasets
+                # (mnist-saliency has no train split).
+                src = next(
+                    self.loaders[k]
+                    for k in ("train", "eval", "test")
+                    if k in self.loaders
+                )
+                rng_cal = np.random.default_rng(opt.manualSeed * 7919 + 13)
+                batches = []
+                for _ in range(n_cal):
+                    if hasattr(src, "sample"):
+                        x, _y = src.sample(opt.batchSize, rng_cal)
+                    else:
+                        x, _y = src.get(1, min(opt.batchSize, src.size()))
+                    if x.ndim > 4:  # tenCrop/stack loaders: flatten to NHWC
+                        x = x.reshape((-1,) + x.shape[-3:])
+                    batches.append(x)
+                params = calibrate(self.model, params, stats, batches)
+                print(f"==> int8: conv kernels quantized; activation "
+                      f"scales calibrated over {n_cal} batches (static)")
+            else:
+                print("==> int8: conv kernels quantized (per-channel "
+                      "weights, dynamic per-tensor activations, int32 "
+                      "MXU accumulation); add -int8Calib N for the "
+                      "faster static-scale path")
         if self._tensor:
             place = lambda tree: shard_params_tp(self.mesh, tree)
         else:
@@ -108,7 +137,6 @@ class Session:
         self.opt_state = place(opt_state)
         self.meta = model_meta(opt)
 
-        self.loaders = get_loaders(opt)
         self.pool = DonkeyPool(
             opt.nDonkeys,
             mode=getattr(opt, "donkeyMode", "thread"),

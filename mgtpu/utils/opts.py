@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-channel static, activations per-tensor "
                         "dynamic, int32 MXU accumulation (ops/quant.py). "
                         "Incompatible with -train")
+    p.add_argument("-int8Calib", type=int, default=0,
+                   help="with -int8: calibrate STATIC activation scales "
+                        "over this many train batches (absmax), so the "
+                        "quantize fuses into each producer instead of "
+                        "paying a per-conv dynamic absmax reduction — "
+                        "the fast serving path. 0 = dynamic scales")
     p.add_argument("-donkeyMode", default="thread", choices=["thread", "process"],
                    help="donkey pool concurrency: threads share loaders "
                         "under the GIL; processes rebuild loaders per "

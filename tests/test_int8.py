@@ -113,6 +113,83 @@ def test_convbn_apply_parts_quantized():
     assert float(jnp.max(rel)) < 0.08, float(jnp.max(rel))
 
 
+def test_calibrate_freezes_static_scales():
+    """calibrate(): every quantized kernel dict gains an "sx" whose
+    value is the MAX dynamic absmax scale over the calibration batches,
+    and the jitted static forward matches the dynamic one on data
+    within the calibrated range."""
+    from mgtpu.ops.quant import calibrate
+
+    seq = nn.Sequential([nn.Conv(4, 8, 3, 1), nn.ConvBN(8, 8, 3, 1)])
+    p, s = seq.init(jax.random.PRNGKey(6))
+    q = quantize_params(p)
+    rng = np.random.default_rng(0)
+    b_small = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    b_big = (3.0 * rng.normal(size=(2, 8, 8, 4))).astype(np.float32)
+    q = calibrate(seq, q, s, [b_small, b_big])
+
+    w0 = q["0"]["w"]
+    assert "sx" in w0 and w0["sx"].shape == (1,)
+    # the frozen scale is the larger batch's absmax / 127
+    assert abs(float(w0["sx"][0]) - float(np.abs(b_big).max()) / 127.0) < 1e-6
+    assert "sx" in q["1"]["conv"]["w"]
+
+    # static path under jit: with inputs inside the calibrated range the
+    # first conv quantizes IDENTICALLY to the dynamic path iff the
+    # dynamic absmax equals the frozen one — so feed b_big itself
+    fwd = jax.jit(lambda pp, xx: seq.apply(pp, s, xx, train=False)[0])
+    got = fwd(q, jnp.asarray(b_big))
+    assert np.all(np.isfinite(np.asarray(got)))
+    # and a dynamic-quantized run of the same input agrees closely
+    q_dyn = quantize_params(p)
+    ref = fwd(q_dyn, jnp.asarray(b_big))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0.05, atol=0.05
+    )
+
+
+def test_calibrate_apply_parts_slots():
+    """apply_parts records one scale PER EXCHANGE PART (slot order =
+    part order); the static path then reproduces the dynamic result
+    bit-exactly when the frozen scales equal the dynamic absmaxes."""
+    from mgtpu.ops.quant import calibrate
+
+    class PartsModel:
+        def __init__(self, m):
+            self.m = m
+
+        def apply(self, p, s, x, *, train=False, rng=None):
+            parts = [("same", x), ("up", x[:, ::2, ::2, : x.shape[-1] // 2])]
+            return self.m.apply_parts(p, s, parts, train=train, rng=rng)
+
+    m = nn.ConvBN(24, 16, 3, 1)
+    p, s = m.init(jax.random.PRNGKey(7))
+    x = np.random.default_rng(1).normal(size=(2, 8, 8, 16)).astype(np.float32)
+    q = quantize_params(p)
+    ref, _ = PartsModel(m).apply(q, s, jnp.asarray(x))  # dynamic
+    q = calibrate(PartsModel(m), q, s, [x])
+    assert q["conv"]["w"]["sx"].shape == (2,)  # same + up slots
+    got, _ = PartsModel(m).apply(q, s, jnp.asarray(x))  # static
+    # same input as calibration -> identical scales -> identical ints
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_up_part_quantize_coarse_then_upsample_exact():
+    """Nearest-upsample only duplicates values, so quantizing at coarse
+    resolution then upsampling the int8 equals upsampling then
+    quantizing with the same scale — the identity the int8 up-part
+    relies on (nn.py apply_parts), including the odd-size ceil crop."""
+    from mgtpu.ops.resample import upsample_nearest2
+
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 5, 7, 3)) * 4,
+                    jnp.float32)
+    _, sx = quantize_act(x)
+    q_coarse, _ = quantize_act(x, sx)
+    a = upsample_nearest2(q_coarse, 9, 13)  # odd targets crop the dup
+    q_fine, _ = quantize_act(upsample_nearest2(x, 9, 13), sx)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(q_fine))
+
+
 def _main(*args, expect_ok=True, timeout=560):
     env = dict(
         os.environ,
@@ -167,6 +244,14 @@ def test_int8_cli_accuracy(tmp_path):
     assert m8, out8[-800:]
     # PTQ on a barely-trained model: loss within 5% of float
     np.testing.assert_allclose(float(m8.group(1)), fp_loss, rtol=0.05)
+
+    # calibrated static scales (-int8Calib): same accuracy contract
+    outc = _main(*common, "-nEpochs", "1", "-retrain", ckpts[0],
+                 "-test", "-int8", "-int8Calib", "2").stdout
+    assert "calibrated over 2 batches" in outc
+    mc = re.search(r"avg\.loss:([0-9.]+)", outc)
+    assert mc, outc[-800:]
+    np.testing.assert_allclose(float(mc.group(1)), fp_loss, rtol=0.05)
 
 
 @pytest.mark.slow  # two jax.export compiles

@@ -51,6 +51,11 @@ def main():
                     help="post-training-quantize conv kernels before export "
                          "(mgtpu/ops/quant.py): ~4x smaller conv constants "
                          "in the artifact, int8 MXU rate at serve time")
+    ap.add_argument("-calib", default=None,
+                    help="with -int8: .npy of NHWC calibration images — "
+                         "freezes STATIC activation scales into the "
+                         "artifact (the fast serving path; without it "
+                         "scales are computed dynamically per call)")
     ap.add_argument("-platforms", nargs="*", default=None,
                     help="lowering platforms, e.g. -platforms tpu cpu "
                          "(default: the current backend)")
@@ -72,9 +77,16 @@ def main():
     else:
         params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
     if args.int8:
-        from mgtpu.ops.quant import quantize_params
+        from mgtpu.ops.quant import calibrate, quantize_params
 
         params = jax.jit(quantize_params)(params)
+        if args.calib:
+            import numpy as np
+
+            cal = np.load(args.calib)
+            if cal.ndim != 4:
+                raise SystemExit(f"-calib expects NHWC images, got {cal.shape}")
+            params = calibrate(model, params, stats, [cal])
 
     @jax.jit
     def fwd(x):
