@@ -71,10 +71,37 @@ def nll_loss(log_probs, labels):
 
 def bce_loss(probs, targets, eps: float = 1e-12):
     """BCECriterion: mean binary cross-entropy over ALL elements
-    (torch sizeAverage semantics) on sigmoid outputs."""
-    p = jnp.clip(probs.astype(jnp.float32), eps, 1.0 - eps)
+    (torch sizeAverage semantics) on sigmoid outputs.
+
+    Two numerical hazards, both hit on the real chip by
+    scripts/mnist-cluttered/prnmg.mnist.sh at init (residual-head
+    logits reach +-17, saturating the f32 sigmoid), each needing its
+    own guard:
+
+    1. eps placement must be THNN-exact: log(x + eps) /
+       log(1 - x + eps), eps added AFTER the subtraction. The
+       clip(p, eps, 1-eps) variant is NOT equivalent in f32 — 1 - 1e-12
+       rounds to exactly 1.0, the upper clamp no-ops, and a saturated
+       sigmoid yields log(0) = -inf loss.
+    2. each log argument must be guarded with maximum(., eps), NOT a
+       clip of p: XLA:TPU's FUSED logistic+log codegen can push
+       1 - sigmoid(z) negative under jit (eager per-op codegen cannot —
+       minimal repro: jit(bce o sigmoid) at z=17 is NaN, eager finite;
+       the standalone jitted sigmoid never exceeds 1, only the fused
+       chain does), log(negative) is NaN, and 0 * NaN = NaN so a zero
+       target cannot mask it. A clip(p, 0, 1) does NOT survive — the
+       simplifier sees clamp(logistic) as a no-op and refuses it —
+       while maximum(1 - p, eps) is not provably redundant and stays.
+
+    log(maximum(x, eps)) == log(x + eps) within O(eps) everywhere
+    (they differ only for x <~ eps, where both are ~log(eps)), so THNN
+    parity holds. The loss is finite for every float input and the
+    gradient through the sigmoid is exactly 0 where it saturates (the
+    maximum selects the constant branch)."""
+    p = probs.astype(jnp.float32)
     t = targets.astype(jnp.float32)
-    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    return -jnp.mean(t * jnp.log(jnp.maximum(p, eps))
+                     + (1.0 - t) * jnp.log(jnp.maximum(1.0 - p, eps)))
 
 
 # ---- LR schedules (reference trainRule variants) ----

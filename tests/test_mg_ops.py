@@ -213,3 +213,41 @@ def test_bn_custom_vjp_matches_naive_autodiff(monkeypatch):
 
     yb, nsb = bn.apply(p, s, x.astype(jnp.bfloat16), train=True)
     assert yb.dtype == jnp.bfloat16 and nsb["mean"].dtype == jnp.float32
+
+
+def test_bce_loss_saturated_sigmoid_finite():
+    """bce_loss must stay finite (value AND grad) for saturated and
+    even slightly-out-of-range sigmoid outputs. Two on-chip failure
+    modes are pinned (see bce_loss docstring; both bit prnmg.mnist.sh
+    step 1 on the v5e): (a) clip(p, eps, 1-eps) no-ops at the top in
+    f32 (1 - 1e-12 == 1.0) -> log(0); (b) XLA:TPU's fused logistic+log
+    chain can push 1 - sigmoid(z) NEGATIVE under jit -> log(neg) = NaN,
+    and 0 * NaN = NaN so the zero target doesn't mask it. The
+    maximum(., eps) guard survives both."""
+    from mgtpu.models.base import bce_loss
+
+    p = jnp.array([0.0, 1.0, 0.5], jnp.float32)
+    t = jnp.array([1.0, 0.0, 0.5], jnp.float32)
+    l = bce_loss(p, t)
+    assert np.isfinite(float(l)), float(l)
+    # THNN-parity value: log(eps) terms = -27.63 for the two saturated
+    # entries, log(.5) halves for the middle
+    expect = -(np.log(1e-12) + np.log(1e-12) + np.log(0.5)) / 3.0
+    np.testing.assert_allclose(float(l), expect, rtol=1e-5)
+
+    # out-of-range p (the fused-codegen overshoot, hazard (b)): finite
+    p_bad = jnp.array([-1e-7, 1.0 + 1e-7], jnp.float32)
+    t_bad = jnp.array([1.0, 0.0], jnp.float32)
+    assert np.isfinite(float(bce_loss(p_bad, t_bad)))
+
+    # gradient THROUGH a jitted sigmoid chain incl. a saturating z=17
+    # (the exact minimal-repro entry): finite, and exactly 0 where the
+    # sigmoid saturates (maximum selects the constant branch)
+    logits = jnp.array([-40.0, 40.0, 0.0, 17.0], jnp.float32)
+    t4 = jnp.array([1.0, 0.0, 0.5, 1.0], jnp.float32)
+    val, g = jax.jit(jax.value_and_grad(
+        lambda z: bce_loss(jax.nn.sigmoid(z), t4)
+    ))(logits)
+    assert np.isfinite(float(val)), float(val)
+    assert np.all(np.isfinite(np.asarray(g))), g
+    np.testing.assert_allclose(float(g[1]), 0.0, atol=1e-30)
