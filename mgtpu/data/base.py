@@ -28,6 +28,13 @@ def _apply_hook(hook: Optional[Hook], img: np.ndarray, rng) -> np.ndarray:
     return img if hook is None else hook(img, rng)
 
 
+def carve_seed(manual_seed: int) -> int:
+    """The -evalSplit carve's RNG stream, derived identically for every
+    dataset (cifar and ilsvrc) so 'deterministic per -manualSeed' means
+    the same thing everywhere."""
+    return manual_seed * 1_000_003 + 99991
+
+
 def check_1based(i1: int) -> None:
     """Reject i1 < 1 in every loader's get(): the contract is 1-based
     inclusive (`INTRO.md:22-27`), and a 0 would silently wrap to the

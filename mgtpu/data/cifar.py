@@ -127,7 +127,9 @@ def _carve_eval(trd, trl, n_classes: int, per_class: int, seed: int):
     pipeline existed but no classification dataset could feed it
     (`pipelines/standard/eval.lua:18-84` + SURVEY §2.8: no model/loader
     pair ever implemented it); this carve closes that gap."""
-    rng = np.random.default_rng(seed * 1_000_003 + 99991)
+    from mgtpu.data.base import carve_seed
+
+    rng = np.random.default_rng(carve_seed(seed))
     ev_idx = []
     for c in range(n_classes):
         members = np.flatnonzero(trl == c)
@@ -141,6 +143,20 @@ def _carve_eval(trd, trl, n_classes: int, per_class: int, seed: int):
     mask = np.ones(len(trl), bool)
     mask[ev] = False
     return (trd[mask], trl[mask]), (trd[ev], trl[ev])
+
+
+def _with_eval_split(opt, trd, trl, n_classes, eval_hook):
+    """Apply the -evalSplit carve (shared by both cifar builders):
+    returns (possibly shrunk) train arrays and a loaders dict seeded
+    with the eval split (or empty)."""
+    loaders = {}
+    per_class = int(getattr(opt, "evalSplit", 0))
+    if per_class > 0:
+        (trd, trl), (evd, evl) = _carve_eval(
+            trd, trl, n_classes, per_class, getattr(opt, "manualSeed", 2)
+        )
+        loaders["eval"] = ClassBalancedDataset(evd, evl, n_classes, None, eval_hook)
+    return trd, trl, loaders
 
 
 def _colorspace_t(opt):
@@ -180,13 +196,7 @@ def build_cifar100_whitened(opt):
     # donkey.lua:167-177 instead of crashing.
     test_hook = tf.compose([cs, tf.scale(image_size, "bilinear"), tf.center_crop_pad(crop)])
 
-    loaders = {}
-    per_class = int(getattr(opt, "evalSplit", 0))
-    if per_class > 0:
-        (trd, trl), (evd, evl) = _carve_eval(
-            trd, trl, n_classes, per_class, getattr(opt, "manualSeed", 2)
-        )
-        loaders["eval"] = ClassBalancedDataset(evd, evl, n_classes, None, test_hook)
+    trd, trl, loaders = _with_eval_split(opt, trd, trl, n_classes, test_hook)
     loaders["train"] = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
     loaders["test"] = ClassBalancedDataset(ted, tel, n_classes, None, test_hook)
     return loaders
@@ -205,13 +215,7 @@ def build_cifar_normalized(opt, name: str):
         train_hook = tf.compose([norm, tf.horizontal_flip(0.5), tf.random_crop(32, 4)])
     else:
         train_hook = norm
-    loaders = {}
-    per_class = int(getattr(opt, "evalSplit", 0))
-    if per_class > 0:
-        (trd, trl), (evd, evl) = _carve_eval(
-            trd, trl, n_classes, per_class, getattr(opt, "manualSeed", 2)
-        )
-        loaders["eval"] = ClassBalancedDataset(evd, evl, n_classes, None, norm)
+    trd, trl, loaders = _with_eval_split(opt, trd, trl, n_classes, norm)
     loaders["train"] = ClassBalancedDataset(trd, trl, n_classes, train_hook, train_hook)
     loaders["test"] = ClassBalancedDataset(ted, tel, n_classes, None, norm)
     return loaders

@@ -148,7 +148,9 @@ class FolderDataset:
         images of every class as a validation subset-view (the ilsvrc
         leg of the three-way split; composes with -split, which carves
         test first)."""
-        rng = np.random.default_rng(seed * 1_000_003 + 99991)
+        from mgtpu.data.base import carve_seed
+
+        rng = np.random.default_rng(carve_seed(seed))
         ev_idx, tr_idx = [], []
         for c, members in enumerate(self.class_list):
             members = np.asarray(members, np.int64)

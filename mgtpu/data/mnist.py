@@ -115,8 +115,9 @@ class SaliencyDataset(PairedDataset):
     def __init__(self, inputs, targets, mask, expand: str = "host"):
         assert expand in ("host", "device")
         norm = tf.color_normalize(*MNIST_MEANSTD)
+        noise = tf.occlusion_noise(mask)  # one copy, shared with the hook
         if expand == "host":
-            occl = tf.occlusion(mask)
+            occl = tf.occlusion(mask, noise=noise)
 
             def hook(img, rng):
                 stack = occl(img, rng)
@@ -127,7 +128,7 @@ class SaliencyDataset(PairedDataset):
         super().__init__(inputs, targets, train_hook=None, test_hook=hook)
         self.mask = mask
         self.expand = expand
-        self.noise = tf.occlusion_noise(mask)
+        self.noise = noise
         self.meanstd = MNIST_MEANSTD
 
 

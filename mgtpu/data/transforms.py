@@ -387,12 +387,16 @@ def occlusion_noise(mask: np.ndarray, rng_seed: int = 0) -> np.ndarray:
     return (noise_rng.uniform(size=mask.shape) * mask).astype(np.float32)
 
 
-def occlusion(mask: np.ndarray, rng_seed: int = 0) -> Transform:
+def occlusion(mask: np.ndarray, rng_seed: int = 0,
+              noise: np.ndarray = None) -> Transform:
     """Expand one sample into 1+N occluded variants (`transforms.lua:
     356-378`): variant i = img * (1-mask_i) + noise_i where noise is
-    fixed uniform inside the mask. mask: (N, H, W, C or 1)."""
+    fixed uniform inside the mask. mask: (N, H, W, C or 1). Pass a
+    precomputed ``occlusion_noise`` to share it with a caller that also
+    needs the raw values (SaliencyDataset keeps one copy, not two)."""
     assert mask.ndim == 4
-    noise = occlusion_noise(mask, rng_seed)
+    if noise is None:
+        noise = occlusion_noise(mask, rng_seed)
     inv = (mask == 0).astype(np.float32)
 
     def f(img, rng):

@@ -28,12 +28,21 @@ def main(argv=None):
 
         init_multihost()
 
-        # non-primary processes get a per-process run dir: on a shared
-        # filesystem every process writing opts.json/logs into the same
-        # dir would interleave; checkpoints/h5 additionally stay
-        # primary-only (standard.py gates on is_primary)
+        # Every process computed its own microsecond-stamped run dir in
+        # parse(), so they'd never agree on a shared filesystem — adopt
+        # process 0's dir everywhere (broadcast over DCN), then give
+        # non-primary processes a procN/ subdir under it so their
+        # opts.json/logs don't interleave with the primary's;
+        # checkpoints/h5 additionally stay primary-only (standard.py
+        # gates on is_primary).
         import jax
+        from jax.experimental import multihost_utils
 
+        raw = opt.save.encode("utf-8")[:1024].ljust(1024, b"\0")
+        buf = multihost_utils.broadcast_one_to_all(
+            np.frombuffer(raw, np.uint8).copy()
+        )
+        opt.save = bytes(np.asarray(buf)).rstrip(b"\0").decode("utf-8")
         if jax.process_index() != 0:
             opt.save = os.path.join(opt.save, f"proc{jax.process_index()}")
 
@@ -56,7 +65,11 @@ def main(argv=None):
     # the cache is on unless the relay backend is active; override
     # either way with MGTPU_COMPILE_CACHE=1/0.
     env_cc = os.environ.get("MGTPU_COMPILE_CACHE")
-    on_relay = os.environ.get("JAX_PLATFORMS", "") == "axon"
+    # JAX_PLATFORMS accepts a comma-separated priority list — the relay
+    # is active if axon leads it ("axon" or "axon,cpu")
+    on_relay = (
+        os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "axon"
+    )
     if env_cc == "1" or (env_cc != "0" and not on_relay):
         try:
             import jax

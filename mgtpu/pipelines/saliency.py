@@ -165,16 +165,22 @@ def run(sess) -> None:
     fwd = jax.jit(lambda p, s, x: sess.model.apply(p, s, x, train=False)[0])
     n_stack = 1 + mask.shape[0]
 
+    def _probe_one(o, m):
+        """Shared device-side probe for one sample's (1+N, ...) output
+        stack — the single implementation behind both -saliencyDumpStack
+        0 variants below."""
+        valid, points = _interest_point_jnp(o[0])
+        sal = _saliency_map_jnp(o, points, m)
+        return valid, points, sal
+
+    # Fallback device-probe path for loaders WITHOUT device-side stack
+    # expansion (a plugin saliency dataset whose hook host-expands the
+    # stack still gets on-device probe/impact); the shipped
+    # mnist-saliency loader always takes the expand_dev path below.
     def _fwd_probe_impl(p, s, flat, m):
         out = sess.model.apply(p, s, flat, train=False)[0]
         outs = out.reshape((k, n_stack) + out.shape[1:])
-
-        def one(o):
-            valid, points = _interest_point_jnp(o[0])
-            sal = _saliency_map_jnp(o, points, m)
-            return valid, points, sal
-
-        return jax.vmap(one)(outs)
+        return jax.vmap(lambda o: _probe_one(o, m))(outs)
 
     fwd_probe = jax.jit(_fwd_probe_impl)
 
@@ -205,13 +211,7 @@ def run(sess) -> None:
             flat = stacks.reshape((-1,) + stacks.shape[2:])
             out = sess.model.apply(p, s, flat, train=False)[0]
             outs = out.reshape((k, n_stack) + out.shape[1:])
-
-            def one(o):
-                valid, points = _interest_point_jnp(o[0])
-                sal = _saliency_map_jnp(o, points, m)
-                return valid, points, sal
-
-            valid, pts, sal = jax.vmap(one)(outs)
+            valid, pts, sal = jax.vmap(lambda o: _probe_one(o, m))(outs)
             return valid, pts, sal, stacks[:, 0]
 
         fwd_probe_base = jax.jit(_fwd_probe_base_impl)

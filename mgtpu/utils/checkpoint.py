@@ -98,14 +98,21 @@ def _to_host(tree):
 import threading
 
 _pending_save: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
 
 
 def join_pending_saves() -> None:
-    """Block until any in-flight async checkpoint write has completed."""
-    global _pending_save
+    """Block until any in-flight async checkpoint write has completed.
+    Re-raises a background write failure (ENOSPC, permissions, ...) —
+    otherwise the run would print 'checkpoint -> path' and exit 0 with
+    no checkpoint on disk."""
+    global _pending_save, _pending_error
     if _pending_save is not None:
         _pending_save.join()
         _pending_save = None
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise RuntimeError("async checkpoint write failed") from err
 
 
 def _write_npz(path: str, struct_json: str, arrays: list) -> None:
@@ -115,6 +122,14 @@ def _write_npz(path: str, struct_json: str, arrays: list) -> None:
         np.savez(f, __struct__=struct_json,
                  **{f"a{i}": x for i, x in enumerate(arrays)})
     os.replace(tmp, path)
+
+
+def _write_npz_bg(path: str, struct_json: str, arrays: list) -> None:
+    global _pending_error
+    try:
+        _write_npz(path, struct_json, arrays)
+    except BaseException as e:  # surfaced by the next join_pending_saves
+        _pending_error = e
 
 
 def save_checkpoint(path: str, params, stats, opt_state=None, epoch: int = 0,
@@ -145,7 +160,7 @@ def save_checkpoint(path: str, params, stats, opt_state=None, epoch: int = 0,
         return
     join_pending_saves()
     t = threading.Thread(
-        target=_write_npz, args=(path, sjson, arrays),
+        target=_write_npz_bg, args=(path, sjson, arrays),
         name="mgtpu-ckpt-writer", daemon=True,
     )
     t.start()
