@@ -166,3 +166,24 @@ def test_async_save_matches_sync(tmp_path):
     save_checkpoint(p_async, params, stats, opt_state, epoch=5, meta=meta,
                     async_write=True)
     assert load_checkpoint(p_async)["epoch"] == 5
+
+
+def test_async_save_failure_surfaces(tmp_path, monkeypatch):
+    """A background write failure (ENOSPC, permissions) must re-raise at
+    the next join_pending_saves() — NOT vanish into the daemon thread
+    while the run claims the checkpoint exists and exits 0."""
+    import pytest
+
+    from mgtpu.utils import checkpoint as ck
+
+    def boom(path, sjson, arrays):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(ck, "_write_npz", boom)
+    params = {"w": np.ones((2, 2), np.float32)}
+    ck.save_checkpoint(str(tmp_path / "x.ckpt"), params, {}, None,
+                       epoch=1, meta={}, async_write=True)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.join_pending_saves()
+    # the error is consumed: a subsequent join is clean
+    ck.join_pending_saves()
