@@ -404,7 +404,11 @@ def run(sess: Session):
             evaluate(sess)
         if opt.test and epoch % opt.nEpochsTest == 0:
             test(sess)
-        if opt.train and epoch % opt.nEpochsSave == 0 and is_primary():
+        stop_here = getattr(opt, "stopAfter", 0) and epoch >= opt.stopAfter
+        # a -stopAfter epoch always checkpoints (resume must not lose
+        # work when the stop point is off the -nEpochsSave cadence)
+        if opt.train and (epoch % opt.nEpochsSave == 0 or stop_here) \
+                and is_primary():
             path = os.path.join(opt.save, f"model_{epoch}.ckpt")
             # async: the D2H fetch happens inside the call (donation
             # safety); the npz write overlaps the next epoch's compute.
@@ -413,3 +417,10 @@ def run(sess: Session):
             save_checkpoint(path, sess.params, sess.stats, sess.opt_state,
                             epoch, sess.meta, async_write=True)
             print(f"checkpoint -> {path}")
+        if stop_here:
+            # bounded partial run (-stopAfter): exit cleanly after this
+            # epoch WITHOUT touching -nEpochs (which the LR schedules
+            # read) — tools/soak_chain.py chains such chunks through
+            # -retrain/-epochNumber resume
+            print(f"==> stopping after epoch {epoch} (-stopAfter)")
+            break

@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the channel collectives. Total devices = nGPU * "
                         "tensor; mutually exclusive with -spatial")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
+    p.add_argument("-stopAfter", type=int, default=0,
+                   help="exit cleanly after this epoch without changing "
+                        "-nEpochs (which the LR schedules read): bounded "
+                        "partial runs, chained by tools/soak_chain.py "
+                        "through -retrain/-epochNumber resume")
     p.add_argument("-multihost", action="store_true",
                    help="join a multi-host slice via jax.distributed "
                         "(DCN): set MGTPU_COORDINATOR host:port, "

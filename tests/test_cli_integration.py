@@ -162,3 +162,28 @@ def test_cifar_eval_split_cli(tmp_path):
     mt = re.search(r"\[TESTING\].*avg\.loss:([0-9.]+)", out)
     assert me and mt, out[-800:]
     assert me.group(1) != mt.group(1), "eval ran on the test split?"
+
+
+@pytest.mark.slow
+def test_stop_after_bounded_chunk_resumes(tmp_path):
+    """-stopAfter: exit cleanly after the given epoch with a checkpoint
+    even off the -nEpochsSave cadence, WITHOUT changing -nEpochs (the
+    LR schedule input); a resume from that checkpoint continues the
+    epoch numbering. This is the chunk primitive tools/soak_chain.py
+    chains to bound per-process RSS on leaky relay hosts."""
+    common = [
+        "-netType", "cifar/nmg", "-dataset", "cifar100-whitened",
+        "-data", "synthetic", "-synthSize", "48", "-batchSize", "8",
+        "-imageSize", "36", "-imageCrop", "32", "-nLayer", "1",
+        "-nGPU", "1", "-nDonkeys", "0", "-cache", str(tmp_path),
+        "-nEpochs", "4", "-epochSize", "2", "-nEpochsSave", "99",
+    ]
+    out = _main(*common, "-stopAfter", "2", "-train")
+    assert "stopping after epoch 2 (-stopAfter)" in out
+    assert "Epoch: [3]" not in out
+    ckpts = glob.glob(str(tmp_path / "**" / "model_2.ckpt"), recursive=True)
+    assert len(ckpts) == 1  # saved despite nEpochsSave=99
+
+    out2 = _main(*common, "-retrain", ckpts[0], "-epochNumber", "3",
+                 "-stopAfter", "3", "-train")
+    assert "Epoch: [3]" in out2 and "Epoch: [4]" not in out2
