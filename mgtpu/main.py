@@ -101,8 +101,15 @@ def main(argv=None):
     finally:
         from mgtpu.utils.checkpoint import join_pending_saves
 
-        join_pending_saves()  # don't exit under an in-flight ckpt write
-        sess.pool.shutdown()
+        try:
+            # don't exit under an in-flight ckpt write; re-raises a
+            # background write failure (ENOSPC, ...)
+            join_pending_saves()
+        finally:
+            # ...but a failed write must not skip the donkey-pool
+            # teardown (process workers would be left to interpreter
+            # exit and can wedge it)
+            sess.pool.shutdown()
 
 
 if __name__ == "__main__":

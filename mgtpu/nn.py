@@ -147,7 +147,17 @@ class ConvTranspose:
         return {"w": w, "b": b}, {}
 
     def apply(self, p, s, x, *, train=False, rng=None):
-        w = cast_to(p["w"], self.dtype)
+        from mgtpu.ops.quant import is_quantized
+
+        w = p["w"]
+        if is_quantized(w):
+            # -int8 safety net: the transposed lowering is not
+            # int8-profitable, so quantize_params skips the zoo's 2x2
+            # upsamplers by kernel shape — a quantized kernel that
+            # still lands here (a plugin net's k!=2 ConvTranspose)
+            # dequantizes instead of crashing at trace time
+            w = w["w8"].astype(jnp.float32) * w["scale"]
+        w = cast_to(w, self.dtype)
         x = cast_to(x, self.dtype)
         y = jax.lax.conv_transpose(
             x,

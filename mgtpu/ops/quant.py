@@ -133,8 +133,11 @@ def quantize_params(params):
     """Replace every 4-D conv kernel leaf ``{"w": ...}`` in a params
     tree with its int8 form. 2x2 kernels are skipped — those are the
     U-Nets' ConvTranspose upsamplers (`nn.ConvTranspose`), whose
-    transposed lowering is not int8-profitable and whose apply has no
-    quantized branch."""
+    transposed lowering is not int8-profitable. The shape heuristic has
+    two known edges, both bounded: a plugin ConvTranspose with k != 2
+    DOES get quantized but `ConvTranspose.apply` dequantizes it (exact
+    float compute, no crash), and a genuine 2x2 regular Conv silently
+    stays float (correct, just unaccelerated)."""
 
     def walk(node):
         if isinstance(node, dict):

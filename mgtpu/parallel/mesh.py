@@ -65,6 +65,28 @@ def fetch_global(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def gather_tree(tree):
+    """Collective, D2H-safe view of a pytree for checkpointing. Leaves
+    whose shards span OTHER processes — tensor-sharded params/momentum
+    under `-multihost -tensor` — are all-gathered over DCN to full
+    numpy values; fully-addressable or fully-replicated leaves pass
+    through untouched (zero cost single-host). EVERY process must call
+    this at the same program point (the gather is a collective); only
+    the subsequent WRITE is gated on is_primary()."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def g(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return x
+
+    return jax.tree.map(g, tree)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None,
               model_axis: str = "model") -> Mesh:
     """data × model device mesh. ``model_axis`` names the second axis

@@ -16,8 +16,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mgtpu.parallel.mesh import fetch_global, is_primary
+from mgtpu.parallel.mesh import fetch_global, gather_tree, is_primary
 from mgtpu.utils.logging import EpochLogger, fmt_metrics, now
+
+
+def calib_window(i: int, batch_size: int, size: int):
+    """1-based inclusive index window for the i-th int8 calibration
+    batch of a loader without `.sample`: consecutive disjoint windows,
+    wrapping when the split is exhausted."""
+    bs = min(batch_size, size)
+    lo = (i * bs) % size + 1
+    hi = min(lo + bs - 1, size)
+    return lo, hi
 
 
 class Session:
@@ -112,11 +122,15 @@ class Session:
                 )
                 rng_cal = np.random.default_rng(opt.manualSeed * 7919 + 13)
                 batches = []
-                for _ in range(n_cal):
+                for i in range(n_cal):
                     if hasattr(src, "sample"):
                         x, _y = src.sample(opt.batchSize, rng_cal)
                     else:
-                        x, _y = src.get(1, min(opt.batchSize, src.size()))
+                        # slide a distinct window per batch (1-based
+                        # inclusive, wrapping): fetching [1, bs] every
+                        # iteration would calibrate one batch n times
+                        lo, hi = calib_window(i, opt.batchSize, src.size())
+                        x, _y = src.get(lo, hi)
                     if x.ndim > 4:  # tenCrop/stack loaders: flatten to NHWC
                         x = x.reshape((-1,) + x.shape[-3:])
                     batches.append(x)
@@ -407,16 +421,24 @@ def run(sess: Session):
         stop_here = getattr(opt, "stopAfter", 0) and epoch >= opt.stopAfter
         # a -stopAfter epoch always checkpoints (resume must not lose
         # work when the stop point is off the -nEpochsSave cadence)
-        if opt.train and (epoch % opt.nEpochsSave == 0 or stop_here) \
-                and is_primary():
-            path = os.path.join(opt.save, f"model_{epoch}.ckpt")
-            # async: the D2H fetch happens inside the call (donation
-            # safety); the npz write overlaps the next epoch's compute.
-            # main.py joins before process exit; load_checkpoint joins
-            # before reading.
-            save_checkpoint(path, sess.params, sess.stats, sess.opt_state,
-                            epoch, sess.meta, async_write=True)
-            print(f"checkpoint -> {path}")
+        if opt.train and (epoch % opt.nEpochsSave == 0 or stop_here):
+            # gather FIRST, on every process: under -multihost -tensor
+            # the param/momentum shards span processes (np.asarray on
+            # them raises non-addressable), and the all-gather is a
+            # collective — a primary-only gather would deadlock. A
+            # fully-addressable or replicated tree passes through
+            # untouched.
+            p, s, o = (gather_tree(sess.params), gather_tree(sess.stats),
+                       gather_tree(sess.opt_state))
+            if is_primary():
+                path = os.path.join(opt.save, f"model_{epoch}.ckpt")
+                # async: the D2H fetch happens inside the call (donation
+                # safety); the npz write overlaps the next epoch's
+                # compute. main.py joins before process exit;
+                # load_checkpoint joins before reading.
+                save_checkpoint(path, p, s, o,
+                                epoch, sess.meta, async_write=True)
+                print(f"checkpoint -> {path}")
         if stop_here:
             # bounded partial run (-stopAfter): exit cleanly after this
             # epoch WITHOUT touching -nEpochs (which the LR schedules

@@ -243,8 +243,14 @@ class _Reader:
     def read_elements(self, n: int, dtype) -> np.ndarray:
         dtype = np.dtype(dtype)
         if self.ascii:
-            toks = self.b.tokens(n) if n else []
-            return np.array(toks, np.float64).astype(dtype) if n else np.empty(0, dtype)
+            if not n:
+                return np.empty(0, dtype)
+            toks = self.b.tokens(n)
+            # integer storages parse exactly — a float64 intermediate
+            # silently rounds int64 values above 2^53
+            if dtype.kind in "iu":
+                return np.array(toks, dtype)
+            return np.array(toks, np.float64).astype(dtype)
         return np.frombuffer(
             self.b.take(int(n) * dtype.itemsize), dtype.newbyteorder("<")
         ).astype(dtype, copy=True)
@@ -317,7 +323,12 @@ class _Reader:
         placeholder = np.empty(0, dtype)
         self.memo[idx] = placeholder
         storage = self.read_object()
-        if storage is None or ndim == 0 or int(np.prod(size)) == 0:
+        if ndim == 0:
+            # torch.Tensor() — the cleared/empty tensor ubiquitous in
+            # clearState'd checkpoints: NO elements. np.empty(()) would
+            # be a 0-d array holding one uninitialized value.
+            arr = np.empty((0,), dtype)
+        elif storage is None or int(np.prod(size)) == 0:
             arr = np.empty(tuple(int(s) for s in size), dtype)
         else:
             arr = np.lib.stride_tricks.as_strided(
@@ -515,6 +526,14 @@ class _Writer:
         stem = _DTYPE_TO_STEM.get(arr.dtype)
         if stem is None:
             raise TypeError(f"no torch tensor class for dtype {arr.dtype}")
+        if arr.ndim == 0:
+            # torch's ndim-0 tensor is torch.Tensor() — EMPTY, not a
+            # scalar: a 0-d numpy array's one value would not survive
+            # the round trip
+            raise TypeError(
+                "0-d arrays have no torch.Tensor equivalent — reshape "
+                "to (1,) or pass a Python number"
+            )
         self.write_int(TYPE_TORCH)
         idx = self._index_for(arr)
         if idx is not None:

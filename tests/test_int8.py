@@ -291,3 +291,42 @@ def test_int8_export_artifact(tmp_path):
     ref = np.asarray(model.apply(params, stats, jnp.asarray(x), train=False)[0])
     rel = np.abs(got - ref) / (np.max(np.abs(ref)) + 1e-6)
     assert float(rel.max()) < 0.08, float(rel.max())
+
+
+def test_convtranspose_quantized_kernel_dequantizes():
+    """A plugin ConvTranspose with k != 2 slips past quantize_params'
+    2x2 shape skip; its apply must dequantize (exact float compute),
+    not crash at trace time on the kernel dict."""
+    m = nn.ConvTranspose(4, 3, k=3, stride=2)
+    p, s = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 8, 8, 4)), jnp.float32
+    )
+    y_f, _ = m.apply(p, s, x)
+    pq = dict(p, w=quantize_kernel(p["w"]))
+    assert is_quantized(pq["w"]) and pq["w"]["w8"].shape == (3, 3, 4, 3)
+    y_q, _ = jax.jit(lambda p, x: m.apply(p, s, x))(pq, x)
+    y_f, y_q = np.asarray(y_f), np.asarray(y_q)
+    assert np.isfinite(y_q).all()
+    # per-channel int8 weight error only: outputs stay close
+    np.testing.assert_allclose(
+        y_q, y_f, atol=0.02 * np.abs(y_f).max() + 1e-6
+    )
+
+
+def test_calib_window_distinct_and_wrapping():
+    """The no-.sample calibration fallback must draw DISTINCT 1-based
+    windows (fetching [1, bs] every iteration would calibrate one batch
+    n times while claiming n batches)."""
+    from mgtpu.pipelines.standard import calib_window
+
+    assert calib_window(0, 4, 10) == (1, 4)
+    assert calib_window(1, 4, 10) == (5, 8)
+    assert calib_window(2, 4, 10) == (9, 10)
+    assert calib_window(3, 4, 10) == (3, 6)  # wraps
+    # batch >= split: the whole split every time
+    assert calib_window(0, 32, 10) == (1, 10)
+    assert calib_window(1, 32, 10) == (1, 10)
+    for i in range(20):
+        lo, hi = calib_window(i, 7, 23)
+        assert 1 <= lo <= hi <= 23

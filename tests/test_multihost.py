@@ -32,14 +32,15 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_two_process(args, timeout=560):
-    """Launch the CLI twice (process 0/1) on one 2-device CPU mesh."""
+def _run_two_process(args, timeout=560, devices_per_proc=2):
+    """Launch the CLI twice (process 0/1) on one global CPU mesh of
+    2 * devices_per_proc devices."""
     port = _free_port()
     base_env = dict(
         os.environ,
         PYTHONPATH=REPO,
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
         MGTPU_COORDINATOR=f"127.0.0.1:{port}",
         MGTPU_NUM_PROCESSES="2",
     )
@@ -125,3 +126,37 @@ def test_single_process_fetch_global_passthrough():
     out = fetch_global(x)
     assert isinstance(out, np.ndarray)
     np.testing.assert_array_equal(out, np.arange(12.0).reshape(3, 4))
+
+
+@pytest.mark.slow
+def test_two_process_tensor_sharded_checkpoint(tmp_path):
+    """-multihost -tensor with one device per process: every param/
+    momentum shard lives on a DIFFERENT process, so the checkpoint path
+    must all-gather collectively (every process) before the
+    primary-only write — a primary-only np.asarray on such a leaf
+    raises 'spans non-addressable devices'. The saved blob must carry
+    FULL (unsharded) values: phase 2 proves it by -retrain'ing it in a
+    plain single-process run."""
+    common = [
+        "-netType", "mnist-cluttered/unmg", "-dataset", "mnist-seg",
+        "-data", "synthetic", "-synthSize", "16", "-batchSize", "4",
+        "-nDonkeys", "0", "-cache", str(tmp_path),
+    ]
+    _run_two_process(
+        ["-nEpochs", "1", "-epochSize", "2", "-train",
+         "-nGPU", "1", "-tensor", "2", "-multihost"] + common,
+        devices_per_proc=1, timeout=1500,
+    )
+    ckpts = glob.glob(str(tmp_path / "**" / "model_1.ckpt"), recursive=True)
+    assert len(ckpts) == 1 and "proc1" not in ckpts[0], ckpts
+
+    # phase 2: a single-process, unsharded run consumes the checkpoint
+    # — shard-shaped (halved-channel) leaves would fail the load/match
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "mgtpu.main", "-retrain", ckpts[0],
+         "-nGPU", "1", "-test"] + common,
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    assert "[TESTING]" in r.stdout, r.stdout[-800:]

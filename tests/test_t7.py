@@ -357,3 +357,60 @@ def test_import_t7_model_rejects_mismatch(tmp_path):
 
     with pytest.raises(SystemExit, match="sequences disagree"):
         import_model(blob, opt)
+
+
+def test_empty_tensor_reads_as_zero_elements(tmp_path):
+    """torch.Tensor() (ndim 0, nil storage) — ubiquitous in
+    clearState'd checkpoints — must decode to an EMPTY array, not a 0-d
+    array holding one uninitialized garbage value."""
+    from mgtpu.utils.t7 import _Writer
+
+    path = str(tmp_path / "empty.t7")
+    with open(path, "wb") as f:
+        w = _Writer(f, False)
+        w.write_int(t7.TYPE_TORCH)
+        w.write_int(1)  # ref index
+        w.write_string(b"V 1")
+        w.write_string(b"torch.FloatTensor")
+        w.write_int(0)  # ndim
+        w.write_long(1)  # storageOffset
+        w.write_object(None)  # nil storage (what torch writes here)
+    out = t7.load(path)
+    assert isinstance(out, np.ndarray) and out.shape == (0,)
+    assert out.dtype == np.float32
+
+
+def test_writer_rejects_0d_array(tmp_path):
+    """A 0-d numpy array has no torch.Tensor equivalent (torch's
+    ndim-0 tensor is the EMPTY tensor) — writing one would lose its
+    value on the round trip, so it must be rejected."""
+    with pytest.raises(TypeError, match="0-d"):
+        t7.save(str(tmp_path / "x.t7"), np.array(5.0, np.float32))
+
+
+@pytest.mark.parametrize("ascii_mode", [False, True])
+def test_int64_exact_roundtrip(tmp_path, ascii_mode):
+    """int64 values above 2^53 survive exactly (the ascii decode used
+    to round-trip through float64, silently rounding them)."""
+    big = np.array([2**60 + 1, -(2**60 + 3), 7], np.int64)
+    path = str(tmp_path / "big.t7")
+    t7.save(path, big, ascii_mode=ascii_mode)
+    out = t7.load(path, ascii_mode=ascii_mode)
+    np.testing.assert_array_equal(out, big)
+
+
+def test_import_t7_model_rejects_dropped_bias():
+    """A trained non-zero torch conv bias with no 'b' slot on the
+    mgtpu side must abort loudly (silently dropping it would offset
+    every activation); an all-zero bias is harmless and allowed."""
+    from import_t7_model import fill_slot
+
+    mod = t7.TorchObject("nn.SpatialConvolution", {
+        "weight": np.zeros((8, 4, 3, 3), np.float32),  # (O, I, kH, kW)
+        "bias": np.ones(8, np.float32),
+    })
+    p = {"w": np.zeros((3, 3, 4, 8), np.float32)}  # built with bias=False
+    with pytest.raises(SystemExit, match="non-zero bias"):
+        fill_slot("conv", "conv", mod, p, {})
+    mod.fields["bias"] = np.zeros(8, np.float32)
+    fill_slot("conv", "conv", mod, p, {})  # no raise

@@ -115,6 +115,14 @@ def fill_slot(kind, tkind, mod, p, s):
         if "b" in p:
             p["b"] = (np.asarray(b, np.float32) if isinstance(b, np.ndarray)
                       else np.zeros(w.shape[-1], np.float32))
+        elif isinstance(b, np.ndarray) and np.any(b):
+            # the docstring promises "any mismatch aborts loudly":
+            # dropping a trained non-zero bias would silently offset
+            # every activation of this conv
+            raise SystemExit(
+                "torch conv carries a non-zero bias but the target "
+                "mgtpu conv was built without one (bias=False)"
+            )
     elif kind == "linear":
         w = np.asarray(mod["weight"], np.float32).T  # (O,I) -> (I,O)
         if w.shape != tuple(p["w"].shape):
