@@ -1,5 +1,6 @@
 from mgtpu.parallel.mesh import (
     fetch_global,
+    gather_tree,
     is_primary,
     make_mesh,
     shard_batch,
