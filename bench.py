@@ -7,12 +7,19 @@ the training (fwd+bwd+sgd) throughput and an MFU estimate for both so
 the artifact is unambiguous about which bar is being claimed:
 
   {"metric": ..., "value": N, "unit": "images/sec/chip",
+   "spread_pct": f,             # (max-min)/median over 3 timed reps —
+                                # deltas inside it are relay noise
    "vs_baseline": N,            # inference value / 10_000
    "train_value": N,            # fwd+bwd+sgd images/sec/chip
+   "train_spread_pct": f,
    "train_mfu": f, "infer_mfu": f,
    "train_ceiling": N}          # 100%-MFU img/s for fwd+bwd at this
                                 # model's FLOPs — shows 10k fwd+bwd is
                                 # not physical on one chip
+
+Every throughput is the MEDIAN of 3 timed repetitions with the spread
+reported alongside (VERDICT r3 weak #2: a single sample made the
+r02->r03 -4.8% delta unattributable).
 
 MFU = img/s * FLOPs/img / chip bf16 peak, with FLOPs/img = 2 * MACs
 (inference) or 3 * 2 * MACs (training: bwd costs ~2x fwd). MACs/img is
@@ -75,7 +82,18 @@ def _sync(v):
     return float(v)
 
 
-def bench_infer(model, params, stats, batch):
+def _median_spread(samples):
+    """(median, spread_pct) with spread = (max-min)/median — makes
+    round-over-round deltas attributable: a delta inside the spread is
+    run-to-run noise (the axon relay jitters several percent), outside
+    it is a real regression."""
+    s = sorted(samples)
+    n = len(s)
+    med = s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    return med, 100.0 * (s[-1] - s[0]) / med
+
+
+def bench_infer(model, params, stats, batch, reps=3):
     @jax.jit
     def fwd(p, s, x):
         y, _ = model.apply(p, s, x, train=False)
@@ -86,14 +104,17 @@ def bench_infer(model, params, stats, batch):
         r = fwd(params, stats, x)
     _sync(r)
     iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fwd(params, stats, x)
-    _sync(r)
-    return batch * iters / (time.perf_counter() - t0)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fwd(params, stats, x)
+        _sync(r)
+        samples.append(batch * iters / (time.perf_counter() - t0))
+    return _median_spread(samples)
 
 
-def bench_train(model, net, opt, params, stats, batch):
+def bench_train(model, net, opt, params, stats, batch, reps=3):
     from mgtpu.train.optim import sgd_init
     from mgtpu.train.step import make_train_step
 
@@ -111,13 +132,16 @@ def bench_train(model, net, opt, params, stats, batch):
         )
     _sync(m["loss"])
     iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, stats, opt_state, m = step(
-            params, stats, opt_state, b, 0.1, 1e-4, jax.random.PRNGKey(i)
-        )
-    _sync(m["loss"])
-    return batch * iters / (time.perf_counter() - t0)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, stats, opt_state, m = step(
+                params, stats, opt_state, b, 0.1, 1e-4, jax.random.PRNGKey(i)
+            )
+        _sync(m["loss"])
+        samples.append(batch * iters / (time.perf_counter() - t0))
+    return _median_spread(samples)
 
 
 def main():
@@ -140,11 +164,12 @@ def main():
     infer_flops = 2.0 * MACS_PER_IMAGE
     train_flops = 3.0 * infer_flops  # fwd + ~2x-fwd bwd
 
-    ips = bench_infer(model, params, stats, batch)
+    ips, ips_spread = bench_infer(model, params, stats, batch)
     result = {
         "metric": "images/sec/chip R-MG-34 224px inference (batch %d, bf16)" % batch,
         "value": round(ips, 1),
         "unit": "images/sec/chip",
+        "spread_pct": round(ips_spread, 2),  # (max-min)/median over 3 reps
         "vs_baseline": round(ips / 10000.0, 4),
         "device_kind": kind,
         "peak_flops_known": peak_known,
@@ -157,7 +182,7 @@ def main():
         from mgtpu.ops.quant import calibrate, quantize_params
 
         q = jax.jit(quantize_params)(params)
-        qips_dyn = bench_infer(model, q, stats, batch)
+        qips_dyn, _ = bench_infer(model, q, stats, batch)
         # serving config: static activation scales calibrated over 2
         # batches (-int8Calib) — the quantize fuses into each producer
         # instead of paying a per-conv dynamic absmax reduction
@@ -167,8 +192,9 @@ def main():
         cal = [rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
                for _ in range(2)]
         q = calibrate(model, q, stats, cal)
-        qips = bench_infer(model, q, stats, batch)
+        qips, qspread = bench_infer(model, q, stats, batch)
         result["int8_value"] = round(qips, 1)
+        result["int8_spread_pct"] = round(qspread, 2)
         result["int8_vs_bf16"] = round(qips / ips, 3)
         result["int8_dynamic_value"] = round(qips_dyn, 1)
         # int8 peak = 2x the bf16 peak on every TPU gen in _PEAK
@@ -179,9 +205,10 @@ def main():
             file=sys.stderr,
         )
     if with_train:
-        tips = bench_train(model, net, opt, params, stats, batch)
+        tips, tspread = bench_train(model, net, opt, params, stats, batch)
         result["train_value"] = round(tips, 1)
         result["train_unit"] = "images/sec/chip fwd+bwd+sgd"
+        result["train_spread_pct"] = round(tspread, 2)
         result["train_mfu"] = round(tips * train_flops / peak, 4)
         print(
             f"train fwd+bwd+sgd: {tips:.1f} images/sec/chip (batch {batch}, "

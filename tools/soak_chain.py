@@ -92,11 +92,24 @@ def main():
         # checkpoint on the next iteration
         budget = int(os.environ.get("SOAK_CHUNK_BUDGET_S", 5400))
         t0 = time.time()
-        r = subprocess.run(["timeout", str(budget)] + cmd,
-                           stdout=open(os.path.join(args.cache, f"chunk_{start:03d}.txt"), "w"),
-                           stderr=subprocess.STDOUT)
+        with open(os.path.join(args.cache, f"chunk_{start:03d}.txt"), "w") as f:
+            # own session so a timeout can kill the whole recipe tree
+            # (sh + python), not just the direct sh child
+            p = subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                 start_new_session=True)
+            try:
+                rc = p.wait(timeout=budget)
+            except subprocess.TimeoutExpired:
+                import signal
+                os.killpg(p.pid, signal.SIGTERM)
+                try:
+                    p.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    os.killpg(p.pid, signal.SIGKILL)
+                    p.wait()
+                rc = 124
         new_done, _ = find_latest_ckpt(args.cache)
-        log(f"chunk rc={r.returncode} wall={time.time() - t0:.0f}s "
+        log(f"chunk rc={rc} wall={time.time() - t0:.0f}s "
             f"ckpt-epoch {done} -> {new_done}")
         if new_done <= done:
             log("no forward progress; aborting chain")
