@@ -38,7 +38,13 @@ def main(argv=None):
         import jax
         from jax.experimental import multihost_utils
 
-        raw = opt.save.encode("utf-8")[:1024].ljust(1024, b"\0")
+        raw = opt.save.encode("utf-8")
+        if len(raw) > 1024:
+            raise SystemExit(
+                f"-cache run dir is {len(raw)} bytes encoded; the multihost "
+                "broadcast buffer is 1024 — use a shorter -cache path"
+            )
+        raw = raw.ljust(1024, b"\0")
         buf = multihost_utils.broadcast_one_to_all(
             np.frombuffer(raw, np.uint8).copy()
         )

@@ -99,6 +99,17 @@ def calibrate(model, params_q, stats, batches):
     global _CALIB
     if _CALIB is not None:
         raise RuntimeError("nested calibration passes")
+
+    # Drop any stale frozen scales first: an existing "sx" suppresses
+    # record_scale at the call site, so re-calibrating an already
+    # calibrated tree would otherwise be a silent no-op.
+    def _drop_sx(node):
+        if isinstance(node, dict):
+            node.pop("sx", None)
+            for v in node.values():
+                _drop_sx(v)
+    _drop_sx(params_q)
+
     _CALIB = {}
     try:
         for x in batches:
@@ -109,11 +120,18 @@ def calibrate(model, params_q, stats, batches):
     for (oid, slot), (wd, val) in col.items():
         groups.setdefault(oid, (wd, {}))[1][slot] = val
     for _oid, (wd, slots) in groups.items():
+        # A kernel's slots must have been recorded contiguously from 0
+        # on every calibration forward — a conv whose part count varies
+        # across forwards would silently mis-map slot -> scale here.
+        n = max(slots) + 1
+        assert sorted(slots) == list(range(n)), (
+            f"non-contiguous calibration slots {sorted(slots)}"
+        )
         # device-committed, NOT host numpy: a numpy leaf inside a jitted
         # fn's params is re-transferred on every call (measured 2x
         # end-to-end through the axon relay: 40 tiny H2D puts per step)
         wd["sx"] = jnp.asarray(
-            [max(slots[i], 1e-12) for i in range(len(slots))], jnp.float32
+            [max(slots[i], 1e-12) for i in range(n)], jnp.float32
         )
     return params_q
 

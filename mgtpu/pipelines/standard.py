@@ -21,13 +21,18 @@ from mgtpu.utils.logging import EpochLogger, fmt_metrics, now
 
 
 def calib_window(i: int, batch_size: int, size: int):
-    """1-based inclusive index window for the i-th int8 calibration
+    """1-based inclusive index window(s) for the i-th int8 calibration
     batch of a loader without `.sample`: consecutive disjoint windows,
-    wrapping when the split is exhausted."""
+    wrapping when the split is exhausted. Returns 1 or 2 (lo, hi)
+    segments that always total min(batch_size, size) samples, so every
+    calibration forward sees the same batch shape (a clamped tail
+    window would silently calibrate on fewer samples than
+    'N batches x batchSize' implies)."""
     bs = min(batch_size, size)
-    lo = (i * bs) % size + 1
-    hi = min(lo + bs - 1, size)
-    return lo, hi
+    start = (i * bs) % size  # 0-based
+    if start + bs <= size:
+        return [(start + 1, start + bs)]
+    return [(start + 1, size), (1, bs - (size - start))]
 
 
 class Session:
@@ -129,8 +134,9 @@ class Session:
                         # slide a distinct window per batch (1-based
                         # inclusive, wrapping): fetching [1, bs] every
                         # iteration would calibrate one batch n times
-                        lo, hi = calib_window(i, opt.batchSize, src.size())
-                        x, _y = src.get(lo, hi)
+                        segs = calib_window(i, opt.batchSize, src.size())
+                        parts = [src.get(lo, hi)[0] for lo, hi in segs]
+                        x = parts[0] if len(parts) == 1 else np.concatenate(parts)
                     if x.ndim > 4:  # tenCrop/stack loaders: flatten to NHWC
                         x = x.reshape((-1,) + x.shape[-3:])
                     batches.append(x)
@@ -430,6 +436,22 @@ def run(sess: Session):
             # untouched.
             p, s, o = (gather_tree(sess.params), gather_tree(sess.stats),
                        gather_tree(sess.opt_state))
+            if getattr(opt, "multihost", False):
+                # the PREVIOUS async write's failure is only discovered
+                # at join time, and only the primary joins — broadcast
+                # it so every process aborts together instead of the
+                # peers hanging in the next collective until the DCN
+                # timeout
+                from jax.experimental import multihost_utils
+
+                from mgtpu.utils.checkpoint import (join_pending_saves,
+                                                    pending_save_failed)
+                bad = np.float32(is_primary() and pending_save_failed())
+                if float(multihost_utils.broadcast_one_to_all(bad)):
+                    join_pending_saves()  # re-raises with the cause on primary
+                    raise RuntimeError(
+                        "primary's async checkpoint write failed; aborting"
+                    )
             if is_primary():
                 path = os.path.join(opt.save, f"model_{epoch}.ckpt")
                 # async: the D2H fetch happens inside the call (donation

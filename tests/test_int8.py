@@ -320,13 +320,16 @@ def test_calib_window_distinct_and_wrapping():
     n times while claiming n batches)."""
     from mgtpu.pipelines.standard import calib_window
 
-    assert calib_window(0, 4, 10) == (1, 4)
-    assert calib_window(1, 4, 10) == (5, 8)
-    assert calib_window(2, 4, 10) == (9, 10)
-    assert calib_window(3, 4, 10) == (3, 6)  # wraps
+    assert calib_window(0, 4, 10) == [(1, 4)]
+    assert calib_window(1, 4, 10) == [(5, 8)]
+    # tail wraps as TWO segments so the batch is still 4 samples
+    assert calib_window(2, 4, 10) == [(9, 10), (1, 2)]
+    assert calib_window(3, 4, 10) == [(3, 6)]
     # batch >= split: the whole split every time
-    assert calib_window(0, 32, 10) == (1, 10)
-    assert calib_window(1, 32, 10) == (1, 10)
+    assert calib_window(0, 32, 10) == [(1, 10)]
+    assert calib_window(1, 32, 10) == [(1, 10)]
     for i in range(20):
-        lo, hi = calib_window(i, 7, 23)
-        assert 1 <= lo <= hi <= 23
+        segs = calib_window(i, 7, 23)
+        assert sum(hi - lo + 1 for lo, hi in segs) == 7
+        for lo, hi in segs:
+            assert 1 <= lo <= hi <= 23
