@@ -33,7 +33,13 @@ with PTQ conv kernels (`mgtpu/ops/quant.py`, the `-int8` CLI path) —
 int8 ops/img equal the bf16 FLOPs/img, so "int8_mxu_util" is computed
 against the chip's doubled int8 peak.
 
-Usage: python bench.py [batch] [--no-train] [--int8]
+With --fold, the object also carries "fold_value": the same forward
+with eval-mode BatchNorm folded into the conv weights
+(`mgtpu/ops/fold.py`, default-on in tools/export_model.py) — measures
+whether removing the BN normalize passes beats XLA's own epilogue
+fusion of them.
+
+Usage: python bench.py [batch] [--no-train] [--int8] [--fold]
 """
 
 import json
@@ -176,6 +182,19 @@ def main():
         "infer_mfu": round(ips * infer_flops / peak, 4),
         "train_ceiling": round(peak / train_flops, 1),
     }
+    if "--fold" in sys.argv:
+        from mgtpu.ops.fold import fold_batchnorm
+
+        fp, fs = fold_batchnorm(model, params, stats)
+        fips, fspread = bench_infer(model, fp, fs, batch)
+        result["fold_value"] = round(fips, 1)
+        result["fold_spread_pct"] = round(fspread, 2)
+        result["fold_vs_bf16"] = round(fips / ips, 3)
+        print(
+            f"fold-BN inference: {fips:.1f} images/sec/chip "
+            f"({fips / ips:.2f}x unfolded)",
+            file=sys.stderr,
+        )
     if "--int8" in sys.argv:
         import numpy as np
 

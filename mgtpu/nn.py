@@ -263,6 +263,18 @@ class BatchNorm:
         return p, s
 
     def apply(self, p, s, x, *, train=False, rng=None):
+        if not s:
+            # Folded into the preceding conv (ops/fold.py replaced this
+            # BN's params/stats with empty dicts — a STATIC structure
+            # marker, so this branch resolves at trace time). Eval-only
+            # by construction: batch moments of the folded conv's output
+            # are not the moments the fold consumed.
+            if train:
+                raise ValueError(
+                    "BatchNorm was folded (ops/fold.py) — folded params "
+                    "serve eval/inference only, not training"
+                )
+            return x, s
         if train:
             if os.environ.get("MGTPU_BN_NAIVE"):
                 xf = x.astype(jnp.float32)
