@@ -21,14 +21,26 @@ CIFAR10_MEANSTD = ([125.3, 123.0, 113.9], [63.0, 62.1, 66.7])  # cifar10/donkey.
 
 
 def _synth_classification(n, n_classes, hw=32, c=3, seed=7, scale=1.0,
-                          proto_seed=424243):
+                          proto_seed=424243, perturb=0.0, perturb_seed=0):
     """Class-structured noise: class-dependent mean pattern + noise, so
     smoke training can actually reduce loss. The prototypes come from
     ``proto_seed`` so train and test splits share them (otherwise the
-    test split is unlearnable and convergence smoke tests read 0%)."""
+    test split is unlearnable and convergence smoke tests read 0%).
+
+    ``perturb`` > 0 adds a per-SPLIT structured offset to every class
+    prototype (sigma = perturb, drawn from ``perturb_seed``): splits
+    built with different perturb_seeds share only the base prototypes,
+    so a model that memorizes the train split's exact composite
+    patterns loses held-out accuracy — test != memorization. This is
+    the `-synthDisjoint` generalization mode (VERDICT r3 weak #3: with
+    identical prototypes the held-out number flatters by design)."""
     protos = np.random.default_rng(proto_seed).normal(
         0, 1, (n_classes, hw, hw, c)
     ).astype(np.float32)
+    if perturb > 0.0:
+        protos = protos + perturb * np.random.default_rng(perturb_seed).normal(
+            0, 1, protos.shape
+        ).astype(np.float32)
     rng = np.random.default_rng(seed)
     labels = np.arange(n, dtype=np.int32) % n_classes
     noise = rng.normal(0, 1, (n, hw, hw, c)).astype(np.float32)
@@ -91,8 +103,17 @@ def _resolve_cifar_source(opt, name: str, whitened: bool):
     if data_dir == "synthetic":
         n_train = max(getattr(opt, "synthSize", 2000), n_classes)
         scale = 1.0 if whitened else 64.0
-        tr = _synth_classification(n_train, n_classes, seed=11, scale=scale)
-        te = _synth_classification(max(n_train // 4, n_classes), n_classes, seed=13, scale=scale)
+        # -synthDisjoint: perturb each split's prototypes independently
+        # (sigma 0.5 on sigma-1 base prototypes -> composite-prototype
+        # correlation 1/(1+0.5^2) = 0.8 across splits) so held-out
+        # accuracy measures generalization to the shared base structure,
+        # not memorization of the train split's exact patterns.
+        dis = bool(getattr(opt, "synthDisjoint", False))
+        kw_tr = dict(perturb=0.5, perturb_seed=101) if dis else {}
+        kw_te = dict(perturb=0.5, perturb_seed=202) if dis else {}
+        tr = _synth_classification(n_train, n_classes, seed=11, scale=scale, **kw_tr)
+        te = _synth_classification(max(n_train // 4, n_classes), n_classes,
+                                   seed=13, scale=scale, **kw_te)
         return tr, te, n_classes
     fname = "cifar100_whitened.npz" if whitened else f"{name}.npz"
     npz = os.path.join(data_dir, fname)

@@ -146,8 +146,13 @@ class Session:
             else:
                 print("==> int8: conv kernels quantized (per-channel "
                       "weights, dynamic per-tensor activations, int32 "
-                      "MXU accumulation); add -int8Calib N for the "
-                      "faster static-scale path")
+                      "MXU accumulation)")
+                print("WARNING: dynamic activation scales measured "
+                      "0.88x bf16 end-to-end on v5e — SLOWER than not "
+                      "quantizing (the per-conv absmax reductions cost "
+                      "more than int8 saves); add -int8Calib N to "
+                      "freeze static scales (measured 1.01x bf16, and "
+                      "the memory win either way)", file=sys.stderr)
         if self._tensor:
             place = lambda tree: shard_params_tp(self.mesh, tree)
         else:

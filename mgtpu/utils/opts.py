@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")
     p.add_argument("-synthSize", type=int, default=2000, help="synthetic dataset size")
+    p.add_argument("-synthDisjoint", action="store_true",
+                   help="synthetic data: perturb each split's class "
+                        "prototypes independently so held-out accuracy "
+                        "measures generalization, not memorization "
+                        "(mgtpu/data/cifar.py)")
     p.add_argument("-resetMomentum", action="store_true",
                    help="zero SGD momentum at each epoch start — the "
                         "reference rebuilt optimState every epoch "

@@ -19,12 +19,20 @@ from mgtpu.train.optim import sgd_init
 from mgtpu.train.step import make_eval_step, make_train_step
 
 
-@pytest.mark.slow  # ~90s: 40 compiled train steps
-def test_mg6_learns_synthetic_cifar():
+@pytest.mark.slow  # ~90s each: 60 compiled train steps
+@pytest.mark.parametrize("disjoint,bar", [
+    (False, 0.10),  # shared prototypes: mechanics smoke (flatters by design)
+    # -synthDisjoint: test prototypes are independently perturbed, so this
+    # bar demands real generalization to the shared base structure
+    # (memorizing the train split's exact patterns would land near 1% chance)
+    (True, 0.05),
+])
+def test_mg6_learns_synthetic_cifar(disjoint, bar):
     opt = types.SimpleNamespace(
         dataset="cifar100-whitened", data="synthetic", synthSize=800,
         nLayer=1, nEpochs=10, batchSize=32, imageSize=36, imageCrop=32,
         colorspace="bgr", dataAug="default", manualSeed=5, tenCrop=False,
+        synthDisjoint=disjoint,
     )
     net = get_net("cifar/nmg")
     model = net.create_model(opt)
@@ -57,6 +65,9 @@ def test_mg6_learns_synthetic_cifar():
         n += j - i + 1
         i = j + 1
     top1 = hits / n
-    # 60 steps reach ~20% on held-out synthetic (chance = 1%); demand a
-    # robust 10x-chance margin so seed drift can't flake the test
-    assert top1 > 0.10, f"synthetic test top1 {top1:.3f} barely above chance"
+    # 60 steps reach ~20% shared / less disjoint on held-out synthetic
+    # (chance = 1%); the bars leave seed-drift margin below the measured
+    # values while staying 5-10x above chance
+    assert top1 > bar, (
+        f"synthetic test top1 {top1:.3f} <= {bar} (disjoint={disjoint})"
+    )

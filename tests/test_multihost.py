@@ -90,6 +90,27 @@ def test_two_process_cli_train_then_mnist_test(tmp_path):
         losses.append(float(m.group(1)))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
 
+    # ...and the 2-process run computes the SAME numbers as one process
+    # over the same 4-device global mesh (multihost is pure layout, not
+    # different math): identical seeds/batches -> identical test loss
+    env = dict(
+        os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    single_args = [a for a in common if a != "-multihost"]
+    single_args[single_args.index("-cache") + 1] = str(tmp_path / "single")
+    r = subprocess.run(
+        [sys.executable, "-m", "mgtpu.main", "-netType",
+         "mnist-cluttered/unmg", "-nEpochs", "1", "-epochSize", "2",
+         "-train", "-test"] + single_args,
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    m = re.search(r"\[TESTING\].*avg\.loss:([0-9.]+)", r.stdout)
+    assert m, r.stdout[-800:]
+    # loss is printed with 5 decimals; demand agreement to print precision
+    np.testing.assert_allclose(losses[0], float(m.group(1)), atol=2e-5)
+
     # primary-only checkpoint; proc1 redirected to a proc1/ subdir
     ckpts = glob.glob(str(tmp_path / "**" / "model_1.ckpt"), recursive=True)
     assert len(ckpts) == 1 and "proc1" not in ckpts[0], ckpts
