@@ -20,6 +20,28 @@ from mgtpu.parallel.mesh import fetch_global, gather_tree, is_primary
 from mgtpu.utils.logging import EpochLogger, fmt_metrics, now
 
 
+def host_cast_inputs(batch, dtype):
+    """Cast the INPUT ('x') leaves of a batch dict to the compute dtype
+    on the host, before device transfer. Under `-dtype bfloat16` this
+    halves H2D bytes — the first conv casts its input to the compute
+    dtype anyway (`mgtpu/nn.py:Conv.apply cast_to`), so the device-side
+    values are unchanged up to pre-conv pooling now rounding in bf16
+    (models whose stem avgpools the raw image, e.g. MgConvInput).
+    Labels stay float32: losses and metrics keep full precision.
+    Measured on the axon-relay dev box (~5 MB/s effective H2D): a
+    64x224x224x3 train step drops from ~7 s to ~3.5 s wall. Opt out
+    with `-hostCast 0`."""
+    if dtype is None or not isinstance(batch, dict) or "x" not in batch:
+        return batch
+    tgt = np.dtype(dtype)
+
+    def cast(a):
+        a = np.asarray(a)
+        return a.astype(tgt) if a.dtype == np.float32 else a
+
+    return {**batch, "x": jax.tree.map(cast, batch["x"])}
+
+
 def calib_window(i: int, batch_size: int, size: int):
     """1-based inclusive index window(s) for the i-th int8 calibration
     batch of a loader without `.sample`: consecutive disjoint windows,
@@ -195,8 +217,14 @@ class Session:
         self.eval_metrics_fn = jax.jit(
             lambda out, y: self.net.eval_metrics(out, y, self.loss_fn(out, y))
         )
+        cast_dtype = (
+            getattr(opt, "compute_dtype", None)
+            if getattr(opt, "hostCast", 1)
+            else None
+        )
         self._shard = lambda tree, axis=0: shard_batch(
-            self.mesh, tree, axis, spatial=self._spatial
+            self.mesh, host_cast_inputs(tree, cast_dtype), axis,
+            spatial=self._spatial,
         )
         self._loggers: Dict[str, EpochLogger] = {}
 

@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     # ------------- TPU-native additions ----------------
     p.add_argument("-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="compute dtype for conv/matmul")
+    p.add_argument("-hostCast", type=int, default=1, choices=[0, 1],
+                   help="1 (default): cast input batches to the compute "
+                        "dtype on the host before device transfer — "
+                        "halves H2D bytes under -dtype bfloat16 (the "
+                        "first conv casts its input anyway). 0: transfer "
+                        "float32 and cast on device")
     p.add_argument("-synthSize", type=int, default=2000, help="synthetic dataset size")
     p.add_argument("-synthDisjoint", action="store_true",
                    help="synthetic data: perturb each split's class "
