@@ -48,9 +48,17 @@ def _fold_convbn(layer, p, s):
     if not bn_s:  # already folded
         return p, s
     conv_layer = layer.conv if isinstance(layer, ConvBN) else layer.upconv
-    # The BN offset lands in the conv bias; a bias-less conv would
-    # silently drop it (Conv.apply only adds "b" when self.bias).
-    assert getattr(conv_layer, "bias", True), "cannot fold BN into a bias-less conv"
+    # The BN offset lands in the conv bias, so the conv must own a "b"
+    # param (Conv only adds one when self.bias; ConvTranspose always
+    # does). The params are the ground truth — an attribute check would
+    # mis-classify conv types without a `bias` field. Hard raise, not
+    # assert: folding must fail loudly under `python -O` too, because a
+    # silently dropped BN offset (beta - mean*a) means wrong outputs.
+    if "b" not in p["conv"]:
+        raise ValueError(
+            f"cannot fold BN into bias-less {type(conv_layer).__name__}: "
+            "no bias param to absorb the BN offset (beta - mean*a)"
+        )
     a = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + layer.bn.eps)
     w = p["conv"]["w"]
     if is_quantized(w):
@@ -58,7 +66,7 @@ def _fold_convbn(layer, p, s):
         new_w["scale"] = (w["scale"] * a).astype(w["scale"].dtype)
     else:
         new_w = (w * a).astype(w.dtype)
-    b = p["conv"].get("b", jnp.zeros_like(bn_s["mean"]))
+    b = p["conv"]["b"]
     new_b = (bn_p["bias"] + (b - bn_s["mean"]) * a).astype(b.dtype)
     new_conv = dict(p["conv"])
     new_conv["w"], new_conv["b"] = new_w, new_b

@@ -9,6 +9,7 @@ every nEpochsSave. The per-iteration stdout format keeps the reference's
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Dict
 
@@ -217,9 +218,14 @@ class Session:
         self.eval_metrics_fn = jax.jit(
             lambda out, y: self.net.eval_metrics(out, y, self.loss_fn(out, y))
         )
+        # int8 disables the host cast: the quantized Conv.apply consumes
+        # the raw input with NO compute-dtype cast (nn.py int8 branch),
+        # and calibration batches above don't pass through _shard — a
+        # host cast would make serving see bf16-rounded values the
+        # frozen scales were never calibrated on.
         cast_dtype = (
             getattr(opt, "compute_dtype", None)
-            if getattr(opt, "hostCast", 1)
+            if getattr(opt, "hostCast", 1) and not getattr(opt, "int8", False)
             else None
         )
         self._shard = lambda tree, axis=0: shard_batch(

