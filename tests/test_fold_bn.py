@@ -127,8 +127,9 @@ ZOO = [
     ("mnist-cluttered/pnmg.mnist", MNIST_OPT, (1, 64, 64, 1), True),
     ("mnist-cluttered/prnmg.mnist", {**MNIST_OPT, "dataset": "mnist-spt"},
      (1, 64, 64, 1), True),
-    # the flagship bench/export family: bench.py --fold times exactly
-    # this fold, so its exactness must be pinned too (depth 18 keeps the
+    # the flagship bench/export family: bench.py's headline serving
+    # graph times exactly this fold, so its exactness must be pinned
+    # too (depth 18 keeps the
     # eager 224px forward affordable; the fold walker is depth-agnostic)
     ("ilsvrc/rnmg", dict(depth=18), (1, 224, 224, 3), True),
     ("ilsvrc/prnmgseg", dict(depth=30, shortcutType="C"), (1, 224, 224, 3), True),
