@@ -7,6 +7,8 @@ from mgtpu.parallel.mesh import (
     replicate,
     batch_sharding,
     replicated_sharding,
+    shard_opt_zero1,
     shard_params_tp,
     tp_sharding,
+    zero1_spec,
 )

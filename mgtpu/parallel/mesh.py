@@ -206,6 +206,41 @@ def tp_sharding(mesh: Mesh, x) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def zero1_spec(x, n_data: int) -> P:
+    """PartitionSpec for one SGD-momentum leaf under -zero1 (ZeRO-1
+    optimizer-state sharding): split the TRAILING dim — a conv kernel's
+    O (HWIO), a BN scale/bias's C — over the 'data' axis, so each chip
+    stores 1/N of the momentum buffer. Unlike tp_sharding there is no
+    minimum-channels-per-shard rule: the momentum only feeds elementwise
+    update math and one all-gather, never a conv, so the GSPMD
+    small-shard cliff doesn't apply. Leaves whose trailing dim doesn't
+    divide n_data stay replicated; correctness never depends on which
+    leaves end up sharded."""
+    if (
+        n_data > 1
+        and getattr(x, "ndim", 0) >= 1
+        and x.shape[-1] % n_data == 0
+    ):
+        return P(*([None] * (x.ndim - 1) + ["data"]))
+    return P()
+
+
+def shard_opt_zero1(mesh: Mesh, tree):
+    """Place an SGD opt-state pytree for -zero1 runs: every eligible
+    momentum leaf sharded over 'data' (optimizer memory scales 1/nGPU —
+    the ZeRO stage-1 contract), the rest replicated. The reference has
+    no analog (optim.sgd keeps full momentum per GPU inside one host,
+    `pipelines/standard/train.lua:49-55`); this is the TPU-native
+    scaling feature the 'data' axis gives for free: XLA turns the
+    gradient all-reduce into reduce-scatter(+local update)+all-gather
+    where profitable, and the sharded layout is re-asserted inside the
+    train step (mgtpu/train/step.py) so it survives the update."""
+    return jax.tree.map(
+        lambda x: _put(x, NamedSharding(mesh, zero1_spec(x, mesh.shape["data"]))),
+        tree,
+    )
+
+
 def shard_params_tp(mesh: Mesh, tree):
     """Place a params/stats/opt-state pytree for -tensor runs: every
     eligible leaf channel-sharded over 'tensor' (tensor parallelism:

@@ -112,6 +112,13 @@ class Session:
         )
         self._spatial = n_spatial > 1
         self._tensor = n_tensor > 1
+        self._zero1 = bool(getattr(opt, "zero1", False))
+        if self._zero1 and self._tensor:
+            raise SystemExit(
+                "-zero1 and -tensor are mutually exclusive: tensor "
+                "parallelism already shards the momentum 1/N over the "
+                "'tensor' axis"
+            )
 
         key = jax.random.PRNGKey(opt.manualSeed)
         start = self.net.initial_state(opt, self.model) if hasattr(self.net, "initial_state") else None
@@ -182,7 +189,12 @@ class Session:
             place = lambda tree: replicate(self.mesh, tree)
         self.params = place(params)
         self.stats = place(stats)
-        self.opt_state = place(opt_state)
+        if self._zero1:
+            from mgtpu.parallel import shard_opt_zero1
+
+            self.opt_state = shard_opt_zero1(self.mesh, opt_state)
+        else:
+            self.opt_state = place(opt_state)
         self.meta = model_meta(opt)
 
         self.pool = DonkeyPool(
@@ -200,7 +212,11 @@ class Session:
             make_train_step(self.model, self.loss_fn, self.net,
                             iter_size=opt.iterSize, momentum=opt.momentum,
                             remat=getattr(opt, "remat", False),
-                            bucket_sgd=not self._tensor),
+                            # bucketing concatenates momentum leaves,
+                            # which would all-gather 'tensor'- or
+                            # 'data'-sharded ones inside the update
+                            bucket_sgd=not (self._tensor or self._zero1),
+                            zero1=self._zero1),
             donate_argnums=(0, 1, 2),
         )
         from mgtpu.train.step import make_tencrop_eval_step

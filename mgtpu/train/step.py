@@ -19,14 +19,19 @@ import jax.numpy as jnp
 
 
 def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0.9,
-                    remat: bool = False, bucket_sgd: bool = True):
+                    remat: bool = False, bucket_sgd: bool = True,
+                    zero1: bool = False):
     """Returns train_step(params, stats, opt_state, batch, lr, wd, rng)
     -> (params, stats, opt_state, metrics).
 
     batch = {"x": ..., "y": ...}; with iter_size > 1 the leading axis of
     each entry is (iter_size, batch, ...). ``remat`` rematerializes the
     forward during the backward pass (jax.checkpoint) — slower but fits
-    larger per-chip batches in HBM.
+    larger per-chip batches in HBM. ``zero1`` pins the updated momentum
+    back to its ZeRO-1 'data'-axis sharding (mgtpu.parallel.zero1_spec)
+    and the updated params to replicated: without the constraints GSPMD
+    would propagate the momentum's layout into the params, and every
+    conv of the NEXT step would pay a per-use all-gather of its kernel.
     """
     from mgtpu.train.optim import sgd_update
 
@@ -62,6 +67,23 @@ def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0
         params, opt_state = sgd_update(
             params, grads, opt_state, lr, wd, momentum, bucket=bucket_sgd
         )
+        if zero1:
+            from jax.sharding import PartitionSpec as P
+
+            from mgtpu.parallel.mesh import zero1_spec
+
+            mesh = jax.sharding.get_abstract_mesh()
+            nd = mesh.shape.get("data", 1) if mesh is not None else 1
+            if nd > 1:
+                params = jax.tree.map(
+                    lambda p: jax.lax.with_sharding_constraint(p, P()), params
+                )
+                opt_state = jax.tree.map(
+                    lambda m: jax.lax.with_sharding_constraint(
+                        m, zero1_spec(m, nd)
+                    ),
+                    opt_state,
+                )
         return params, stats, opt_state, metrics
 
     return train_step

@@ -123,6 +123,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "param/optimizer memory scales 1/N; XLA inserts "
                         "the channel collectives. Total devices = nGPU * "
                         "tensor; mutually exclusive with -spatial")
+    p.add_argument("-zero1", action="store_true",
+                   help="shard the SGD momentum buffer over the data "
+                        "axis (ZeRO stage 1): optimizer memory scales "
+                        "1/nGPU; XLA inserts the reduce-scatter/"
+                        "all-gather. No effect on the update values; "
+                        "mutually exclusive with -tensor (which already "
+                        "shards momentum 1/N over 'tensor')")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
     p.add_argument("-stopAfter", type=int, default=0,
                    help="exit cleanly after this epoch without changing "

@@ -98,7 +98,10 @@ def test_two_process_cli_train_then_mnist_test(tmp_path):
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
     )
     single_args = [a for a in common if a != "-multihost"]
-    single_args[single_args.index("-cache") + 1] = str(tmp_path / "single")
+    # the comparison run's artifacts must live OUTSIDE tmp_path: the
+    # primary-only assertions below glob tmp_path recursively, and the
+    # single run writes its own model_1.ckpt / testOutput_1.h5 too
+    single_args[single_args.index("-cache") + 1] = str(tmp_path) + "_single"
     r = subprocess.run(
         [sys.executable, "-m", "mgtpu.main", "-netType",
          "mnist-cluttered/unmg", "-nEpochs", "1", "-epochSize", "2",

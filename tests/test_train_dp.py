@@ -330,3 +330,74 @@ def test_remat_train_step_matches():
     np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_zero1_spec_logic():
+    """ZeRO-1 momentum sharding picks the trailing dim when it divides
+    the data-axis size; no minimum-shard rule (momentum never feeds a
+    conv, only elementwise update math + one all-gather)."""
+    from mgtpu.parallel import zero1_spec
+
+    conv = jnp.ones((3, 3, 16, 32))  # HWIO, O=32 -> sharded
+    assert tuple(zero1_spec(conv, 8)) == (None, None, None, "data")
+    bn = jnp.ones((16,))  # 16/8 = 2 per shard: still sharded
+    assert tuple(zero1_spec(bn, 8)) == ("data",)
+    odd = jnp.ones((15,))  # 15 % 8 != 0 -> replicated
+    assert tuple(zero1_spec(odd, 8)) == ()
+    scalar = jnp.float32(1.0)  # rank-0 -> replicated
+    assert tuple(zero1_spec(scalar, 8)) == ()
+    assert tuple(zero1_spec(conv, 1)) == ()  # single device -> replicated
+
+
+def test_zero1_matches_single_device():
+    """DP + ZeRO-1 (-zero1): SGD momentum sharded over 'data' (1/N
+    optimizer memory per chip), params replicated. The update must
+    match the unsharded step, the momentum must COME OUT still sharded
+    (the step re-asserts the layout so GSPMD can't propagate it away),
+    and the params must come out replicated (so the next step's convs
+    don't pay per-use kernel all-gathers)."""
+    from mgtpu.parallel import shard_opt_zero1
+
+    net, model, params, stats, loss_fn, step = _setup()
+    p1, _, o1, m1 = jax.jit(step)(
+        params, stats, sgd_init(params),
+        {"x": jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3)),
+         "y": jnp.arange(16, dtype=jnp.int32) % 100},
+        0.1, 5e-4, jax.random.PRNGKey(0),
+    )
+
+    zstep = jax.jit(make_train_step(model, loss_fn, net,
+                                    bucket_sgd=False, zero1=True))
+    mesh = make_mesh(n_data=8)
+    pr = replicate(mesh, params)
+    sr = replicate(mesh, stats)
+    oz = shard_opt_zero1(mesh, sgd_init(params))
+    sharded_in = [l for l in jax.tree.leaves(oz)
+                  if not l.sharding.is_fully_replicated]
+    assert sharded_in, "no momentum leaf was zero1-sharded at placement"
+    big = max(sharded_in, key=lambda a: a.size)
+    # the memory contract, measured: each device holds exactly 1/8
+    assert big.addressable_shards[0].data.nbytes == big.nbytes // 8
+    batch = shard_batch(
+        mesh,
+        {"x": jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3)),
+         "y": jnp.arange(16, dtype=jnp.int32) % 100},
+    )
+    with jax.set_mesh(mesh):
+        p2, _, o2, m2 = zstep(pr, sr, oz, batch, 0.1, 5e-4,
+                              jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for leaf in jax.tree.leaves(p2):
+        assert leaf.sharding.is_fully_replicated
+    for a, b in zip(jax.tree.leaves(oz), jax.tree.leaves(o2)):
+        assert a.sharding.spec == b.sharding.spec, (a.sharding, b.sharding)
+    # same update values as the unsharded step (same tolerance rationale
+    # as test_dp_matches_single_device)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
