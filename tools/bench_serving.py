@@ -63,6 +63,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--no-fold-bn", action="store_true",
+                    help="measure the unfolded eval graph instead of the "
+                         "BN-folded serving graph tools/export_model.py "
+                         "exports by default")
     ap.add_argument("--batches", type=int, nargs="*", default=[1, 8, 32, 128])
     args = ap.parse_args()
 
@@ -71,7 +75,17 @@ def main():
     model = net.create_model(opt)
     params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
 
-    variants = [("bf16", params)]
+    # measure what serving actually runs: the BN-folded export graph
+    # (mgtpu/ops/fold.py; exactness pinned in tests/test_fold_bn.py)
+    def maybe_fold(p, s):
+        if args.no_fold_bn:
+            return p, s
+        from mgtpu.ops.fold import fold_batchnorm
+
+        return fold_batchnorm(model, p, s)
+
+    suffix = "" if args.no_fold_bn else "-folded"
+    variants = [("bf16" + suffix, *maybe_fold(params, stats))]
     if args.int8:
         import numpy as np
 
@@ -81,18 +95,18 @@ def main():
         rng = np.random.default_rng(3)
         q = calibrate(model, q, stats,
                       [rng.standard_normal((8, 224, 224, 3)).astype(np.float32)])
-        variants.append(("int8-static", q))
+        variants.append(("int8-static" + suffix, *maybe_fold(q, stats)))
 
     @jax.jit
     def fwd(p, s, x):
         y, _ = model.apply(p, s, x, train=False)
         return jnp.sum(y.astype(jnp.float32))
 
-    for name, p in variants:
+    for name, p, s in variants:
         for b in args.batches:
             x = jax.random.normal(jax.random.PRNGKey(1), (b, 224, 224, 3),
                                   jnp.bfloat16)
-            p50, thr = measure(fwd, p, stats, x)
+            p50, thr = measure(fwd, p, s, x)
             print(json.dumps({
                 "dtype": name, "batch": b,
                 "p50_latency_ms": round(p50 * 1e3, 2),
