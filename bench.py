@@ -17,9 +17,17 @@ the artifact is unambiguous about which bar is being claimed:
                                 # model's FLOPs — shows 10k fwd+bwd is
                                 # not physical on one chip
 
-Every throughput is the MEDIAN of 3 timed repetitions with the spread
-reported alongside (VERDICT r3 weak #2: a single sample made the
-r02->r03 -4.8% delta unattributable).
+Every throughput is the MEDIAN of >=5 timed repetitions with the
+spread reported alongside (VERDICT r3 weak #2: a single sample made the
+r02->r03 -4.8% delta unattributable). The folded/unfolded pair is
+measured INTERLEAVED — alternating timed windows within one session —
+so session-level drift (relay warmup, clock ramps) hits both sides
+equally and the ratio is trustworthy (VERDICT r4 weak #1: back-to-back
+blocks produced A/B ratios anywhere in 0.99-1.09x across sessions).
+The train measurement retries with extra reps until its spread is
+<= 3% or a cap is hit, and reports whatever spread it ends with
+(VERDICT r4 weak #2: 3 reps at 8.7% spread could not distinguish a
+real 3% regression from relay noise).
 
 MFU = img/s * FLOPs/img / chip bf16 peak, with FLOPs/img = 2 * MACs
 (inference) or 3 * 2 * MACs (training: bwd costs ~2x fwd). MACs/img is
@@ -38,7 +46,11 @@ eval-mode BatchNorm folded into the conv weights (`mgtpu/ops/fold.py`)
 — exactly the graph `tools/export_model.py` exports by default
 (exactness vs the unfolded forward pinned in tests/test_fold_bn.py).
 "unfolded_value" keeps the pre-fold number for round-over-round
-continuity (fold measured 1.09x in-session, round 4).
+continuity. Folding is THROUGHPUT-NEUTRAL on v5e (interleaved A/B;
+BENCH_r04 measured fold_vs_unfolded 0.989 with tight spreads on both
+sides): XLA already fuses the eval-BN affine into the conv epilogue,
+so the fold's value is the smaller, simpler export graph (fewer HLO
+ops, no BN stats in the artifact), not speed.
 
 Usage: python bench.py [batch] [--no-train] [--int8]
 """
@@ -100,28 +112,61 @@ def _median_spread(samples):
     return med, 100.0 * (s[-1] - s[0]) / med
 
 
-def bench_infer(model, params, stats, batch, reps=3):
+def _make_fwd(model):
     @jax.jit
     def fwd(p, s, x):
         y, _ = model.apply(p, s, x, train=False)
         return jnp.sum(y.astype(jnp.float32))
 
+    return fwd
+
+
+def _timed_window(fwd, params, stats, x, batch, iters):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fwd(params, stats, x)
+    _sync(r)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_infer(model, params, stats, batch, reps=5):
+    fwd = _make_fwd(model)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.bfloat16)
     for _ in range(3):
         r = fwd(params, stats, x)
     _sync(r)
     iters = 30
-    samples = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fwd(params, stats, x)
-        _sync(r)
-        samples.append(batch * iters / (time.perf_counter() - t0))
+    samples = [_timed_window(fwd, params, stats, x, batch, iters)
+               for _ in range(reps)]
     return _median_spread(samples)
 
 
-def bench_train(model, net, opt, params, stats, batch, reps=3):
+def bench_infer_ab(model, a_tree, b_tree, batch, reps=5):
+    """Interleaved A/B of two param/stat trees on the SAME jitted
+    forward: windows alternate A,B,A,B,... within one session, so any
+    session-level drift (relay warmup, thermal/clock ramps) lands on
+    both sides equally and the ratio of medians is attributable to the
+    trees, not the session. Back-to-back blocks measured 0.99-1.09x
+    for the identical fold/unfold pair across rounds 3-4; this layout
+    is what makes the single reported ratio trustworthy.
+
+    Returns ((median_a, spread_a), (median_b, spread_b))."""
+    fwd = _make_fwd(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.bfloat16)
+    for tree in (a_tree, b_tree):  # compile + warm both variants
+        for _ in range(3):
+            r = fwd(tree[0], tree[1], x)
+        _sync(r)
+    iters = 30
+    sa, sb = [], []
+    for _ in range(reps):
+        sa.append(_timed_window(fwd, a_tree[0], a_tree[1], x, batch, iters))
+        sb.append(_timed_window(fwd, b_tree[0], b_tree[1], x, batch, iters))
+    return _median_spread(sa), _median_spread(sb)
+
+
+def bench_train(model, net, opt, params, stats, batch, reps=5,
+                target_spread=3.0, max_reps=11):
     from mgtpu.train.optim import sgd_init
     from mgtpu.train.step import make_train_step
 
@@ -138,9 +183,13 @@ def bench_train(model, net, opt, params, stats, batch, reps=3):
             params, stats, opt_state, b, 0.1, 1e-4, jax.random.PRNGKey(i)
         )
     _sync(m["loss"])
-    iters = 20
+    # Longer windows + adaptive rep count: 40 steps/window averages out
+    # relay jitter inside each sample; if the spread across reps still
+    # exceeds target_spread, keep adding reps (up to max_reps) and
+    # report the final spread honestly — never trim samples.
+    iters = 40
     samples = []
-    for _ in range(reps):
+    while True:
         t0 = time.perf_counter()
         for i in range(iters):
             params, stats, opt_state, m = step(
@@ -148,7 +197,10 @@ def bench_train(model, net, opt, params, stats, batch, reps=3):
             )
         _sync(m["loss"])
         samples.append(batch * iters / (time.perf_counter() - t0))
-    return _median_spread(samples)
+        if len(samples) >= reps:
+            med, spread = _median_spread(samples)
+            if spread <= target_spread or len(samples) >= max_reps:
+                return med, spread
 
 
 def main():
@@ -177,8 +229,9 @@ def main():
     from mgtpu.ops.fold import fold_batchnorm
 
     fp, fs = fold_batchnorm(model, params, stats)
-    ips, ips_spread = bench_infer(model, fp, fs, batch)
-    uips, uspread = bench_infer(model, params, stats, batch)
+    (ips, ips_spread), (uips, uspread) = bench_infer_ab(
+        model, (fp, fs), (params, stats), batch
+    )
     result = {
         "metric": "images/sec/chip R-MG-34 224px inference "
                   "(batch %d, bf16, BN-folded serving graph)" % batch,
@@ -189,6 +242,7 @@ def main():
         "unfolded_value": round(uips, 1),
         "unfolded_spread_pct": round(uspread, 2),
         "fold_vs_unfolded": round(ips / uips, 3),
+        "fold_ab_interleaved": True,  # alternating windows, one session
         "device_kind": kind,
         "peak_flops_known": peak_known,
         "infer_mfu": round(ips * infer_flops / peak, 4),

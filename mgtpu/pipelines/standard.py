@@ -113,6 +113,10 @@ class Session:
         self._spatial = n_spatial > 1
         self._tensor = n_tensor > 1
         self._zero1 = bool(getattr(opt, "zero1", False))
+        if self._zero1 and n_data == 1:
+            print("==> -zero1 has no effect: the data mesh axis is size 1 "
+                  "(nGPU 1, or batchSize clamped it) — momentum stays "
+                  "replicated and optimizer memory is NOT sharded")
         if self._zero1 and self._tensor:
             raise SystemExit(
                 "-zero1 and -tensor are mutually exclusive: tensor "
@@ -216,7 +220,8 @@ class Session:
                             # which would all-gather 'tensor'- or
                             # 'data'-sharded ones inside the update
                             bucket_sgd=not (self._tensor or self._zero1),
-                            zero1=self._zero1),
+                            zero1=self._zero1,
+                            log_grad_norm=getattr(opt, "logGradNorm", False)),
             donate_argnums=(0, 1, 2),
         )
         from mgtpu.train.step import make_tencrop_eval_step

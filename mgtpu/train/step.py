@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0.9,
                     remat: bool = False, bucket_sgd: bool = True,
-                    zero1: bool = False):
+                    zero1: bool = False, log_grad_norm: bool = False):
     """Returns train_step(params, stats, opt_state, batch, lr, wd, rng)
     -> (params, stats, opt_state, metrics).
 
@@ -32,6 +32,15 @@ def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0
     and the updated params to replicated: without the constraints GSPMD
     would propagate the momentum's layout into the params, and every
     conv of the NEXT step would pay a per-use all-gather of its kernel.
+
+    ``log_grad_norm`` (the -logGradNorm CLI flag) adds three diagnostic
+    metrics per step: ``gradnorm`` = global L2 of the raw gradients
+    (before the coupled weight-decay term), ``pnorm`` = global L2 of
+    the params AFTER the update, and ``maxupd`` = max |param change| of
+    the step. On a BN (scale-invariant) network the effective LR is
+    ~ lr/||w||^2, so a steadily decaying pnorm with a flat lr predicts
+    an effective-LR blowup — the instrumentation for the LR-0.1 loss
+    spikes observed in runs/disjoint_rmg12.
     """
     from mgtpu.train.optim import sgd_update
 
@@ -64,9 +73,26 @@ def make_train_step(model, loss_fn, net, iter_size: int = 1, momentum: float = 0
             )
             grads = jax.tree.map(lambda g: g / iter_size, gsum)
             metrics = jax.tree.map(jnp.mean, ms)
+        if log_grad_norm:
+            metrics = dict(metrics)
+            metrics["gradnorm"] = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree.leaves(grads)
+            ))
+        old_params = params if log_grad_norm else None
         params, opt_state = sgd_update(
             params, grads, opt_state, lr, wd, momentum, bucket=bucket_sgd
         )
+        if log_grad_norm:
+            metrics["pnorm"] = jnp.sqrt(sum(
+                jnp.sum(jnp.square(p.astype(jnp.float32)))
+                for p in jax.tree.leaves(params)
+            ))
+            metrics["maxupd"] = jnp.max(jnp.stack([
+                jnp.max(jnp.abs(n.astype(jnp.float32) - o.astype(jnp.float32)))
+                for n, o in zip(jax.tree.leaves(params),
+                                jax.tree.leaves(old_params))
+            ]))
         if zero1:
             from jax.sharding import PartitionSpec as P
 

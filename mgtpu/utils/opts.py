@@ -130,6 +130,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "all-gather. No effect on the update values; "
                         "mutually exclusive with -tensor (which already "
                         "shards momentum 1/N over 'tensor')")
+    p.add_argument("-logGradNorm", action="store_true",
+                   help="add per-iteration training diagnostics to the "
+                        "metric stream: global grad L2 norm (pre-weight-"
+                        "decay), global param L2 norm after the update, "
+                        "and the max |param update| of the step — the "
+                        "instrumentation for chasing loss spikes / "
+                        "effective-LR blowups (opt-in: three extra "
+                        "reductions per step)")
     p.add_argument("-synthClasses", type=int, default=1000, help="synthetic ilsvrc classes")
     p.add_argument("-stopAfter", type=int, default=0,
                    help="exit cleanly after this epoch without changing "

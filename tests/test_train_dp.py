@@ -87,6 +87,52 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0]  # overfits a fixed batch
 
 
+def test_log_grad_norm_metrics():
+    """-logGradNorm adds gradnorm/pnorm/maxupd diagnostics whose values
+    must match an independent host-side recomputation: gradnorm =
+    global L2 of the raw grads, pnorm = global L2 of the UPDATED
+    params, maxupd = max |param change| of the step. (The spike-chasing
+    instrumentation — VERDICT r4 next #3.)"""
+    opt = types.SimpleNamespace(dataset="cifar100-whitened", nEpochs=200, nLayer=1)
+    net = get_net("cifar/nmg")
+    model = net.create_model(opt)
+    params, stats = jax.jit(model.init)(jax.random.PRNGKey(0))
+    loss_fn = net.create_loss(opt)
+    step = jax.jit(make_train_step(model, loss_fn, net, log_grad_norm=True))
+    plain = jax.jit(make_train_step(model, loss_fn, net))
+    opt_state = sgd_init(params)
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3)),
+        "y": jnp.arange(8, dtype=jnp.int32) % 100,
+    }
+    lr, wd = 0.05, 5e-4
+    p2, s2, o2, m = step(params, stats, opt_state, batch, lr, wd,
+                         jax.random.PRNGKey(0))
+    for k in ("gradnorm", "pnorm", "maxupd"):
+        assert k in m and np.isfinite(float(m[k])), k
+    # identical update values as the uninstrumented step
+    p2p, _, _, mp = plain(params, stats, opt_state, batch, lr, wd,
+                          jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m["loss"]), float(mp["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p2p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # host-side recomputation of all three diagnostics
+    pnorm = np.sqrt(sum(float(np.sum(np.square(np.asarray(l, np.float64))))
+                        for l in jax.tree.leaves(p2)))
+    np.testing.assert_allclose(float(m["pnorm"]), pnorm, rtol=1e-4)
+    maxupd = max(float(np.max(np.abs(np.asarray(a, np.float64)
+                                     - np.asarray(b, np.float64))))
+                 for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params)))
+    np.testing.assert_allclose(float(m["maxupd"]), maxupd, rtol=1e-4)
+    grads = jax.jit(jax.grad(
+        lambda p: loss_fn(model.apply(p, stats, batch["x"], train=True,
+                                      rng=jax.random.PRNGKey(0))[0], batch["y"])
+    ))(params)
+    gnorm = np.sqrt(sum(float(np.sum(np.square(np.asarray(l, np.float64))))
+                        for l in jax.tree.leaves(grads)))
+    np.testing.assert_allclose(float(m["gradnorm"]), gnorm, rtol=1e-4)
+
+
 @pytest.mark.slow  # compile-heavy; fast tier keeps test_dp_matches_single_device + grad-accum
 def test_train_step_data_parallel_mesh():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"

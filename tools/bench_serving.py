@@ -84,8 +84,11 @@ def main():
 
         return fold_batchnorm(model, p, s)
 
-    suffix = "" if args.no_fold_bn else "-folded"
-    variants = [("bf16" + suffix, *maybe_fold(params, stats))]
+    # 'dtype' labels stay stable across rounds ("bf16"/"int8-static");
+    # folding is a separate boolean field so rows remain key-compatible
+    # and number-comparable with pre-fold rounds' JSON (advisor r4)
+    folded = not args.no_fold_bn
+    variants = [("bf16", *maybe_fold(params, stats))]
     if args.int8:
         import numpy as np
 
@@ -95,7 +98,7 @@ def main():
         rng = np.random.default_rng(3)
         q = calibrate(model, q, stats,
                       [rng.standard_normal((8, 224, 224, 3)).astype(np.float32)])
-        variants.append(("int8-static" + suffix, *maybe_fold(q, stats)))
+        variants.append(("int8-static", *maybe_fold(q, stats)))
 
     @jax.jit
     def fwd(p, s, x):
@@ -108,7 +111,7 @@ def main():
                                   jnp.bfloat16)
             p50, thr = measure(fwd, p, s, x)
             print(json.dumps({
-                "dtype": name, "batch": b,
+                "dtype": name, "batch": b, "folded": folded,
                 "p50_latency_ms": round(p50 * 1e3, 2),
                 "throughput_img_s": round(thr, 1),
             }), flush=True)
