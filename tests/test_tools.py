@@ -206,3 +206,45 @@ def test_zca_exact_mathematical_pins():
     evals = np.sort(np.linalg.eigvalsh(cov))
     s = np.sort(np.linalg.eigvalsh((g - mean).T @ (g - mean) / len(g)))
     np.testing.assert_allclose(evals, s / (s + 0.1), rtol=1e-7, atol=1e-9)
+
+
+def test_render_predictions_panels(tmp_path):
+    """tools/render_predictions.py renders input|target|prediction rows
+    from a test h5 dump + task npz (the reference's
+    figures/spatial_transform.png panels, README.md:137-150): auto mode
+    picks gray for single-digit targets and seg for multi-digit ones,
+    and the prediction cell reflects the h5 values (dark where
+    confident, white where empty)."""
+    import h5py
+    from PIL import Image
+
+    h, w, c, n = 16, 16, 10, 3
+    inputs = np.zeros((n, h, w, 1), np.float32)
+    targets = np.zeros((n, h, w, c), np.float32)
+    pred = np.zeros((n, h, w, c), np.float32)
+    inputs[:, 4:12, 4:12, 0] = 1.0
+    targets[:, 4:12, 4:12, 3] = 1.0  # single class -> auto picks gray
+    pred[:, 4:12, 4:12, 3] = 1.0
+    np.savez(tmp_path / "task.npz", test_inputs=inputs, test_targets=targets)
+    with h5py.File(tmp_path / "testOutput_1.h5", "w") as f:
+        f.create_dataset("prediction", data=pred)
+    _run("render_predictions.py", str(tmp_path / "testOutput_1.h5"),
+         "--targets", str(tmp_path / "task.npz"), "--out", str(tmp_path),
+         "--ids", "0", "1")
+    img = np.asarray(Image.open(tmp_path / "predictions_gray.png"))
+    pad, scale = 2, 3
+    assert img.shape == ((2 * h + 3 * pad) * scale, (3 * w + 4 * pad) * scale, 3)
+    # prediction cell (row 0, col 2): dark at the digit, white outside
+    y0, x0 = pad * scale, (pad * 3 + 2 * w) * scale
+    assert img[y0 + 8 * scale, x0 + 8 * scale].max() < 60       # digit
+    assert img[y0 + 1 * scale, x0 + 1 * scale].min() > 200      # empty
+    # multi-class target -> auto picks seg (colored tints)
+    targets[:, 2:6, 2:6, 7] = 1.0
+    np.savez(tmp_path / "task.npz", test_inputs=inputs, test_targets=targets)
+    _run("render_predictions.py", str(tmp_path / "testOutput_1.h5"),
+         "--targets", str(tmp_path / "task.npz"), "--out", str(tmp_path),
+         "--ids", "0")
+    seg = np.asarray(Image.open(tmp_path / "predictions_seg.png"))
+    ty, tx = pad * scale, (pad * 2 + w) * scale  # target cell, class-3 zone
+    px = seg[ty + 8 * scale, tx + 8 * scale].astype(float)
+    assert px[0] > px[2] > px[1]  # tab10 class-3 red tint: R > B > G
