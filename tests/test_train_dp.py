@@ -41,6 +41,28 @@ def test_sgd_matches_reference_semantics():
     np.testing.assert_allclose(np.asarray(st2["m"]["w"]), exp_m2, rtol=1e-6)
 
 
+def test_sgd_scale_invariant_norm_decay_envelope():
+    """With zero gradient (memorized training set), coupled L2 +
+    momentum shrink each weight by the lr*wd/(1-mu) envelope per step
+    at equilibrium — the quantitative basis of the LR-0.1 spike
+    root-cause analysis (runs/spike_rootcause, PARITY 'constant-LR
+    instability'): a BN-preceded weight's effective LR grows as
+    lr/||w||^2 while ||w|| decays along exactly this envelope."""
+    lr, wd, mu = 0.1, 5e-4, 0.9
+    p = {"w": jnp.array([100.0])}
+    st = sgd_init(p)
+    g = {"w": jnp.zeros(1)}
+    norms = [float(p["w"][0])]
+    for _ in range(600):
+        p, st = sgd_update(p, g, st, lr, wd, mu)
+        norms.append(float(p["w"][0]))
+    # after the momentum transient, the per-step decay factor converges
+    # to 1 - lr*wd/(1-mu) = 1 - 5e-4
+    tail = np.array(norms[-100:])
+    ratios = tail[1:] / tail[:-1]
+    np.testing.assert_allclose(ratios, 1.0 - lr * wd / (1.0 - mu), rtol=3e-5)
+
+
 def test_sgd_bucketed_matches_per_leaf():
     """The multi-tensor (bucketed) update path must be bit-identical to
     the per-leaf formulation for a mixed tree: many small leaves (below
