@@ -248,3 +248,9 @@ def test_render_predictions_panels(tmp_path):
     ty, tx = pad * scale, (pad * 2 + w) * scale  # target cell, class-3 zone
     px = seg[ty + 8 * scale, tx + 8 * scale].astype(float)
     assert px[0] > px[2] > px[1]  # tab10 class-3 red tint: R > B > G
+    # a .png --out is a file path, not a directory to fill
+    _run("render_predictions.py", str(tmp_path / "testOutput_1.h5"),
+         "--targets", str(tmp_path / "task.npz"),
+         "--out", str(tmp_path / "sub" / "exact.png"), "--ids", "0")
+    exact = np.asarray(Image.open(tmp_path / "sub" / "exact.png"))
+    assert exact.shape == seg.shape and not (tmp_path / "sub" / "exact.png").is_dir()

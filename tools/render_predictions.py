@@ -96,7 +96,9 @@ def main():
     ap.add_argument("--targets", required=True,
                     help="mnist_<task>.npz (tools/generate_mnist_cluttered.py)")
     ap.add_argument("--split", default="test")
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", required=True,
+                    help="output .png file, or a directory to receive "
+                         "predictions_<mode>.png")
     ap.add_argument("--ids", type=int, nargs="*", default=None,
                     help="sample indices (default: first 8)")
     ap.add_argument("--mode", default="auto", choices=["auto", "gray", "seg"])
@@ -138,11 +140,17 @@ def main():
             to_cell(collapse(p)),
         ])
 
-    os.makedirs(args.out, exist_ok=True)
     from PIL import Image
 
     panel = assemble(rows)
-    out_path = os.path.join(args.out, f"predictions_{mode}.png")
+    if args.out.endswith(".png"):
+        out_path = args.out
+        parent = os.path.dirname(out_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+    else:
+        os.makedirs(args.out, exist_ok=True)
+        out_path = os.path.join(args.out, f"predictions_{mode}.png")
     Image.fromarray(panel).save(out_path)
     print(f"{len(rows)} rows (input | target | prediction, {mode}) -> {out_path}")
 
